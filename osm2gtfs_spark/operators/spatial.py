@@ -1,0 +1,177 @@
+"""Spatial operators: kNN snap, tile coverage, point-in-polygon, skew tools.
+
+These are the north-rule operators the reference performs implicitly and
+serially:
+
+- kNN snap — reference does one Overpass radius query *per stop* plus a
+  linear argmin (``osm2gtfs/core/osm_connector.py:696-785``). Here it is
+  one batched cell-ring join over the whole corpus.
+- point-in-bbox (``osm_connector.py:38-41``) generalized to
+  point-in-polygon.
+- tile coverage — new surface (north rule): per-cell aggregates.
+
+Scale notes (100 TB / 10^12 docs):
+- the kNN join shuffles only (points × ring_size) rows keyed by cell id;
+  candidate sets are bounded by cell area, never a cross join.
+- the probe side explodes its ring (≤ (2k+1)^2 ids/point); the build side
+  is keyed by its own single cell — so build-side rows are NOT replicated
+  and the shuffle stays linear in input size.
+- hot cells (dense urban areas) are handled by AQE skew-join splitting
+  plus :func:`adaptive_resolution` which re-encodes over-dense cells at a
+  finer resolution before aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm2gtfs_spark.functions.geo import (
+    cell_id,
+    cell_parent,
+    cell_ring,
+    haversine_m,
+)
+
+
+def knn_snap(
+    points: DataFrame,
+    targets: DataFrame,
+    res: int,
+    k_ring: int = 1,
+    point_key: str = "stop_key",
+    target_key: str = "station_key",
+    n_neighbors: int = 1,
+    distance: str = "sqdeg",
+) -> DataFrame:
+    """Nearest-target snap via cell-ring candidate join (SURVEY.md J9).
+
+    For every point, candidates are targets whose cell lies within
+    Chebyshev distance ``k_ring`` of the point's cell at resolution
+    ``res``; the winner is the argmin by distance with deterministic
+    tie-break on ``target_key``. Points with no candidate in the ring are
+    *omitted* (caller may re-run with a larger ring / coarser res for the
+    residue — bounded driver-side iteration, never a cross join).
+
+    ``distance='sqdeg'`` ranks by exact squared degree distance
+    (reproducible bit-for-bit in any engine — used by correctness
+    oracles); ``'haversine'`` ranks by meters (used by the pipeline).
+
+    Returns (point_key, nearest_<target_key>, n-best rank).
+    """
+    pts = points.select(
+        F.col(point_key),
+        F.col("lat").alias("_p_lat"),
+        F.col("lon").alias("_p_lon"),
+        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("_cell"),
+    )
+    tgt = targets.select(
+        F.col(target_key),
+        F.col("lat").alias("_t_lat"),
+        F.col("lon").alias("_t_lon"),
+        cell_id("lat", "lon", res).alias("_cell"),
+    )
+    if distance == "haversine":
+        dist: Column = haversine_m("_p_lat", "_p_lon", "_t_lat", "_t_lon")
+    else:
+        dlat = F.col("_p_lat") - F.col("_t_lat")
+        dlon = F.col("_p_lon") - F.col("_t_lon")
+        dist = dlat * dlat + dlon * dlon
+    cand = pts.join(tgt, "_cell").withColumn("_dist", dist)
+    w = Window.partitionBy(point_key).orderBy(F.col("_dist").asc(), F.col(target_key).asc())
+    out = (
+        cand.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_neighbors)
+        .select(
+            F.col(point_key),
+            F.col(target_key).alias(f"nearest_{target_key}"),
+            F.col("_rank").alias("rank"),
+        )
+    )
+    # a point that straddles ring membership may see the same target via
+    # several of its own exploded cells — dedup happens naturally because
+    # explode is on the PROBE side only and targets carry one cell each.
+    return out
+
+
+def tile_coverage(
+    points: DataFrame,
+    res: int,
+    group_cols: tuple[str, ...] = (),
+    count_distinct_col: str | None = None,
+) -> DataFrame:
+    """Raster↔vector tile assignment: per-cell coverage aggregates.
+
+    ``groupBy(cell)`` with partial (map-side) aggregation — the canonical
+    scalable shape; at 10^12 rows this is one shuffle keyed by cell id
+    with combiners doing most of the reduction.
+    """
+    cell = cell_id("lat", "lon", res).alias("cell_id")
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    if count_distinct_col:
+        aggs.append(F.countDistinct(count_distinct_col).alias(f"n_{count_distinct_col}"))
+    return points.groupBy(cell, *[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def adaptive_resolution(points: DataFrame, res: int, max_per_cell: int, fine_res: int) -> DataFrame:
+    """Skew splitter: re-encode points in over-dense cells at ``fine_res``.
+
+    Two passes: (1) count per coarse cell (cheap — partial agg), broadcast
+    the hot-cell set; (2) assign ``cell_id`` at ``fine_res`` for points in
+    hot cells, coarse elsewhere. North-rule skew handling: bounds the
+    per-cell candidate set for downstream joins regardless of urban
+    density. Output adds ``cell_id`` and ``cell_res`` columns.
+    """
+    coarse = cell_id("lat", "lon", res)
+    hot = (
+        points.groupBy(coarse.alias("cell_id"))
+        .count()
+        .filter(F.col("count") > max_per_cell)
+        .select("cell_id")
+    )
+    fine = cell_id("lat", "lon", fine_res)
+    return (
+        points.withColumn("_coarse", coarse)
+        .join(F.broadcast(hot.withColumnRenamed("cell_id", "_coarse").withColumn("_hot", F.lit(True))), "_coarse", "left")
+        .withColumn("cell_id", F.when(F.col("_hot"), fine).otherwise(F.col("_coarse")))
+        .withColumn("cell_res", F.when(F.col("_hot"), F.lit(fine_res)).otherwise(F.lit(res)))
+        .drop("_coarse", "_hot")
+    )
+
+
+def point_in_convex_polygon(points: DataFrame, vertices: list[tuple[float, float]], lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Filter points inside a convex polygon via half-plane tests.
+
+    ``vertices`` are (lat, lon) in counter-clockwise order. Each edge
+    contributes one cross-product sign predicate — exact IEEE multiply/
+    subtract, fully codegen'd, zero UDFs, and bit-identical in the SQL
+    oracle. Generalizes the reference's bbox (J12); the non-convex /
+    multi-ring case lives in :func:`point_in_polygon_winding`.
+    """
+    pred = point_in_convex_polygon_pred(vertices, lat_col, lon_col)
+    return points.filter(pred)
+
+
+def point_in_convex_polygon_pred(vertices: list[tuple[float, float]], lat_col: str = "lat", lon_col: str = "lon") -> Column:
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    pred = F.lit(True)
+    n = len(vertices)
+    for i in range(n):
+        (lat1, lon1), (lat2, lon2) = vertices[i], vertices[(i + 1) % n]
+        # cross((v2-v1), (p-v1)) >= 0 for CCW vertices, treating lon as x, lat as y
+        cross = (F.lit(lon2 - lon1)) * (lat - F.lit(lat1)) - (F.lit(lat2 - lat1)) * (lon - F.lit(lon1))
+        pred = pred & (cross >= 0)
+    return pred
+
+
+def point_in_convex_polygon_sql(vertices: list[tuple[float, float]], lat_expr: str, lon_expr: str) -> str:
+    """The identical half-plane conjunction as an ANSI SQL predicate."""
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        (lat1, lon1), (lat2, lon2) = vertices[i], vertices[(i + 1) % n]
+        terms.append(
+            f"(({lon2!r} - {lon1!r}) * (({lat_expr}) - {lat1!r}) - "
+            f"({lat2!r} - {lat1!r}) * (({lon_expr}) - {lon1!r}) >= 0)"
+        )
+    return " AND ".join(terms)
