@@ -37,6 +37,10 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # permissive mode: invalid casts → NULL (the reference tolerates bad
+        # tag values, e.g. non-numeric frequency → default), and map/array
+        # element_at returns NULL instead of raising
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
