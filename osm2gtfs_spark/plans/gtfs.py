@@ -1,0 +1,483 @@
+"""The GTFS pipeline: decoded OSM entity tables → GTFS output tables.
+
+Each stage is a pure DataFrame→DataFrame function mirroring one stage
+of the reference pipeline (``osm2gtfs/osm2gtfs.py:78-93`` execution
+order: stops → routes → trips → prune → validate → write), with the
+reference's row-at-a-time semantics recast as joins/windows:
+
+- build_stops      — P3/P6/P7/P11 + A1 (way centroids)
+- build_stations   — J3 (stop_area membership, ≥2-member rule)
+- build_lines      — P2/J1/J2/P8/P10 (master↔variant full outer)
+- itinerary_stops  — P4 (platform-role members, order preserved)
+- build_shapes     — J6 + O1 (two-hop geometry join + stitch kernel)
+- frequency_trips  — Accra path (gh_accra/trips_creator_gh_accra.py)
+- prune_unused     — P15/P16 anti joins
+
+Scale shape: all joins are equi joins on entity ids; the dimension
+sides (lines, itineraries) are tiny relative to nodes and are
+broadcast; the only applyInPandas is the shape stitcher, whose groups
+are bounded (ways per itinerary ≤ hundreds).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osm2gtfs_spark.functions.geo import (
+    centroid_lat,
+    centroid_lon,
+    spherical_centroid_aggs,
+)
+
+DEFAULT_ROUTE_FREQUENCY = 30  # minutes (gh_accra/trips_creator_gh_accra.py:56)
+DEFAULT_TRAVEL_TIME = 120  # minutes (gh_accra/trips_creator_gh_accra.py:57)
+FREQ_START, FREQ_END = "05:00:00", "22:00:00"
+FIRST_DEPARTURE_SECS = 6 * 3600  # datetime(2008,11,22,6,0,0) in the reference
+
+def route_type_case():
+    """GTFS route_type mapping (reference osm2gtfs/core/elements.py:55-83)."""
+    return (
+        F.when(F.col("route_kind").isin("tram", "light_rail"), "Tram")
+        .when(F.col("route_kind") == "subway", "Subway")
+        .when(F.col("route_kind") == "train", "Rail")
+        .when(F.col("route_kind").isin("bus", "trolleybus"), "Bus")
+        .when(F.col("route_kind") == "ferry", "Ferry")
+        .otherwise("Bus")
+    )
+
+
+def tag(key: str):
+    return F.try_element_at("tags", F.lit(key))
+
+
+# ---------------------------------------------------------------------------
+# Stops (reference osm_connector.py:253-283,430-464; stops_creator.py:105-124)
+# ---------------------------------------------------------------------------
+
+def valid_stop_pred():
+    """P3 (osm_connector.py:677-694)."""
+    return (
+        tag("public_transport").isin("platform", "station")
+        | (tag("highway") == "bus_stop")
+        | (tag("amenity") == "bus_station")
+    )
+
+
+def build_stops(nodes: DataFrame, ways: DataFrame, name_without: str = "stop") -> DataFrame:
+    """stops(stop_key, osm_type, osm_id, stop_id, name, lat, lon).
+
+    Node stops use their own coordinates; way stops get the spherical
+    centroid of their member nodes (A1, helper.py:28-54). Missing names
+    become "[<name_without>]" (P6, osm_connector.py:440-441); stop_id
+    precedence is ref:gtfs → ref → osm_type/osm_id (P11,
+    stops_creator.py:105-124).
+    """
+    node_stops = nodes.filter(valid_stop_pred()).select(
+        F.lit("node").alias("osm_type"),
+        F.col("id").alias("osm_id"),
+        "lat",
+        "lon",
+        "tags",
+    )
+    way_candidates = ways.filter(valid_stop_pred())
+    way_pts = (
+        way_candidates.select("id", "tags", F.explode("node_refs").alias("nref"))
+        .join(nodes.select(F.col("id").alias("nref"), "lat", "lon"), "nref")
+    )
+    cents = spherical_centroid_aggs("lat", "lon")
+    way_stops = (
+        way_pts.groupBy("id")
+        .agg(F.first("tags").alias("tags"), *cents.values())
+        .select(
+            F.lit("way").alias("osm_type"),
+            F.col("id").alias("osm_id"),
+            centroid_lat("cx", "cy", "cz").alias("lat"),
+            centroid_lon("cx", "cy").alias("lon"),
+            "tags",
+        )
+    )
+    all_stops = node_stops.unionByName(way_stops)
+    return all_stops.select(
+        F.concat("osm_type", F.lit("/"), F.col("osm_id").cast("string")).alias("stop_key"),
+        "osm_type",
+        "osm_id",
+        F.coalesce(
+            tag("ref:gtfs"),
+            tag("ref"),
+            F.concat("osm_type", F.lit("/"), F.col("osm_id").cast("string")),
+        ).alias("stop_id"),
+        F.coalesce(tag("name"), F.lit(f"[{name_without}]")).alias("name"),
+        "lat",
+        "lon",
+        "tags",
+    )
+
+
+def build_stations(relations: DataFrame, stops: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """J3: stop_area relations → stations + member→parent mapping.
+
+    Areas resolve members against known stops (broadcast join — stations
+    are always ≪ stops); areas with <2 resolved members are dropped
+    (osm_connector.py:519-530). Station location = spherical centroid of
+    members. Returns (stations, parent_map(stop_key → parent_station)).
+    """
+    areas = relations.filter(
+        (tag("type") == "public_transport") & (tag("public_transport") == "stop_area")
+    )
+    memb = areas.select(
+        F.col("id").alias("area_id"),
+        tag("name").alias("area_name"),
+        F.explode("members").alias("m"),
+    ).select(
+        "area_id",
+        "area_name",
+        F.concat("m.mtype", F.lit("/"), F.col("m.ref").cast("string")).alias("stop_key"),
+    )
+    resolved = memb.join(stops.select("stop_key", "lat", "lon"), "stop_key")
+    cents = spherical_centroid_aggs("lat", "lon")
+    stations = (
+        resolved.groupBy("area_id")
+        .agg(F.first("area_name").alias("name"), F.count(F.lit(1)).alias("n_members"), *cents.values())
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.concat(F.lit("relation/"), F.col("area_id").cast("string")).alias("station_key"),
+            F.col("area_id").alias("osm_id"),
+            F.coalesce("name", F.lit("[station]")).alias("name"),
+            centroid_lat("cx", "cy", "cz").alias("lat"),
+            centroid_lon("cx", "cy").alias("lon"),
+        )
+    )
+    parent_map = (
+        resolved.join(stations.select("osm_id").withColumnRenamed("osm_id", "area_id"), "area_id")
+        .select("stop_key", F.concat(F.lit("relation/"), F.col("area_id").cast("string")).alias("parent_station"))
+        .dropDuplicates(["stop_key"])
+    )
+    return stations, parent_map
+
+
+# ---------------------------------------------------------------------------
+# Lines / itineraries (osm_connector.py:124-204,294-428)
+# ---------------------------------------------------------------------------
+
+def build_lines(relations: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P2+J1+J2: split masters/variants, resolve membership, dedup refs.
+
+    Returns (lines, itineraries):
+    - lines(line_id, route_id, name, route_type, colour, tags) — one per
+      route_master, plus one per masterless variant (osm_connector.py:184-204)
+    - itineraries(itinerary_id, line_id, route_id, fr, via, to, seq) —
+      ordered within line by master-member position (matched) or self (masterless)
+    """
+    routes = relations.filter(tag("type").isin("route", "route_master"))
+    masters = routes.filter(tag("type") == "route_master").select(
+        F.col("id").alias("master_id"),
+        tag("ref").alias("m_ref"),
+        tag("name").alias("m_name"),
+        tag("route_master").alias("m_kind"),
+        tag("colour").alias("m_colour"),
+        F.col("tags").alias("m_tags"),
+        F.posexplode(
+            F.filter("members", lambda m: m.mtype == F.lit("relation"))
+        ).alias("member_pos", "m"),
+    ).select("master_id", "m_ref", "m_name", "m_kind", "m_colour", "m_tags", "member_pos", F.col("m.ref").alias("variant_id"))
+    variants = routes.filter(tag("type") == "route").select(
+        F.col("id").alias("variant_id"),
+        tag("ref").alias("v_ref"),
+        tag("name").alias("v_name"),
+        tag("route").alias("v_kind"),
+        tag("from").alias("fr"),
+        tag("via").alias("via"),
+        tag("to").alias("to"),
+        F.col("tags").alias("v_tags"),
+    )
+    j = masters.join(variants, "variant_id", "full_outer")
+    matched = j.filter(F.col("master_id").isNotNull() & F.col("v_ref").isNotNull())
+    masterless = j.filter(F.col("master_id").isNull())
+    # one line per master (dedup ref: lowest master_id wins — J2 first-wins)
+    line_rows = (
+        matched.select(
+            F.col("master_id").alias("line_osm_id"),
+            F.coalesce("m_ref", "v_ref").alias("route_id"),
+            F.col("m_name").alias("name"),
+            F.col("m_kind").alias("route_kind"),
+            F.col("m_colour").alias("colour"),
+            F.col("m_tags").alias("tags"),
+        )
+        .dropDuplicates(["line_osm_id"])
+        .unionByName(
+            masterless.select(
+                F.col("variant_id").alias("line_osm_id"),
+                F.col("v_ref").alias("route_id"),
+                F.col("v_name").alias("name"),
+                F.col("v_kind").alias("route_kind"),
+                F.lit(None).cast("string").alias("colour"),
+                F.col("v_tags").alias("tags"),
+            )
+        )
+    )
+    ref_guard = Window.partitionBy("route_id").orderBy(F.col("line_osm_id").asc())
+    lines = (
+        line_rows.filter(F.col("route_id").isNotNull())
+        .withColumn("_rn", F.row_number().over(ref_guard))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("route_type", route_type_case())
+        .withColumn("line_id", F.concat(F.lit("relation/"), F.col("line_osm_id").cast("string")))
+    )
+    itins = (
+        matched.select(
+            F.col("variant_id").alias("itinerary_osm_id"),
+            F.col("master_id").alias("line_osm_id"),
+            F.coalesce("v_ref", "m_ref").alias("route_id"),
+            "fr",
+            "via",
+            "to",
+            F.col("member_pos").alias("seq"),
+            F.col("v_tags").alias("tags"),
+        )
+        .unionByName(
+            masterless.select(
+                F.col("variant_id").alias("itinerary_osm_id"),
+                F.col("variant_id").alias("line_osm_id"),
+                F.col("v_ref").alias("route_id"),
+                "fr",
+                "via",
+                "to",
+                F.lit(0).alias("seq"),
+                F.col("v_tags").alias("tags"),
+            )
+        )
+        # keep only itineraries whose line survived the ref guard
+        .join(lines.select("line_osm_id"), "line_osm_id")
+        .withColumn("itinerary_id", F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")))
+    )
+    return lines, itins
+
+
+def itinerary_stops(relations: DataFrame) -> DataFrame:
+    """P4: ordered platform members per route relation.
+
+    (itinerary_osm_id, pos, stop_key) — pos from posexplode preserves the
+    relation's member order exactly (osm_connector.py:391-404)."""
+    return (
+        relations.filter(tag("type") == "route")
+        .select(
+            F.col("id").alias("itinerary_osm_id"),
+            F.posexplode(
+                F.filter("members", lambda m: m.role.startswith("platform"))
+            ).alias("pos", "m"),
+        )
+        .select(
+            "itinerary_osm_id",
+            "pos",
+            F.concat("m.mtype", F.lit("/"), F.col("m.ref").cast("string")).alias("stop_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shapes (osm_connector.py:620-675 — two-hop join J6 + stitch kernel O1)
+# ---------------------------------------------------------------------------
+
+_STITCH_SCHEMA = T.StructType(
+    [
+        T.StructField("itinerary_osm_id", T.LongType()),
+        T.StructField("shape_pt_sequence", T.IntegerType()),
+        T.StructField("shape_pt_lat", T.DoubleType()),
+        T.StructField("shape_pt_lon", T.DoubleType()),
+    ]
+)
+
+
+def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """O1: order member ways into one polyline by endpoint matching.
+
+    Reference semantics (osm_connector.py:620-675): walk ways in member
+    order, connect by matching endpoints with reversal as needed; on a
+    mismatch, stop and truncate the shape (break-on-mismatch)."""
+    pdf = pdf.sort_values("way_pos")
+    polys = [list(zip(pts_lat, pts_lon)) for pts_lat, pts_lon in zip(pdf.pts_lat, pdf.pts_lon)]
+    polys = [p for p in polys if p]
+    itin = int(pdf.itinerary_osm_id.iloc[0])
+    if not polys:
+        return pd.DataFrame(columns=[f.name for f in _STITCH_SCHEMA.fields])
+    shape = list(polys[0])
+    for nxt in polys[1:]:
+        if nxt[0] == shape[-1]:
+            shape.extend(nxt[1:])
+        elif nxt[-1] == shape[-1]:
+            shape.extend(reversed(nxt[:-1]))
+        elif nxt[0] == shape[0]:
+            shape = list(reversed(nxt))[:-1] + shape
+        elif nxt[-1] == shape[0]:
+            shape = nxt[:-1] + shape
+        else:
+            break  # non-contiguous → truncate (reference :665-670)
+    return pd.DataFrame(
+        {
+            "itinerary_osm_id": itin,
+            "shape_pt_sequence": range(len(shape)),
+            "shape_pt_lat": [p[0] for p in shape],
+            "shape_pt_lon": [p[1] for p in shape],
+        }
+    )
+
+
+def build_shapes(relations: DataFrame, ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J6+O1: itinerary member ways → way points → stitched polyline.
+
+    Geometry members are ways whose role does not start with 'platform'
+    (P5, osm_connector.py:630-633). The two hops are shuffle equi joins
+    with order keys carried; the stitch itself is applyInPandas per
+    itinerary (bounded group size)."""
+    member_ways = (
+        relations.filter(tag("type") == "route")
+        .select(
+            F.col("id").alias("itinerary_osm_id"),
+            F.posexplode(
+                F.filter(
+                    "members",
+                    lambda m: (m.mtype == F.lit("way")) & ~m.role.startswith("platform"),
+                )
+            ).alias("way_pos", "m"),
+        )
+        .select("itinerary_osm_id", "way_pos", F.col("m.ref").alias("way_id"))
+    )
+    way_pts = (
+        ways.select(F.col("id").alias("way_id"), F.posexplode("node_refs").alias("nref_pos", "nref"))
+        .join(nodes.select(F.col("id").alias("nref"), "lat", "lon"), "nref")
+        .groupBy("way_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("nref_pos", "lat", "lon"))
+            ).alias("pts")
+        )
+        .select(
+            "way_id",
+            F.transform("pts", lambda p: p.lat).alias("pts_lat"),
+            F.transform("pts", lambda p: p.lon).alias("pts_lon"),
+        )
+    )
+    joined = member_ways.join(way_pts, "way_id")
+    return joined.groupBy("itinerary_osm_id").applyInPandas(_stitch_group, _STITCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Trips — Accra frequency path (gh_accra/trips_creator_gh_accra.py:13-110)
+# ---------------------------------------------------------------------------
+
+def secs_to_gtfs(col):
+    """Seconds-since-midnight → 'HH:MM:SS'; hours may exceed 24 (GTFS)."""
+    h = F.floor(col / 3600)
+    m = F.floor((col % 3600) / 60)
+    s = col % 60
+    return F.concat_ws(
+        ":",
+        F.lpad(h.cast("string"), 2, "0"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lpad(s.cast("string"), 2, "0"),
+    )
+
+
+def frequency_trips(
+    lines: DataFrame, itineraries: DataFrame, itin_stops: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Accra path: one trip per itinerary + frequencies + stop_times.
+
+    Semantics (gh_accra/trips_creator_gh_accra.py:40-110):
+    - direction_id alternates over the line's itineraries (W3)
+    - headsign = 'to' tag; frequency from line tags, invalid → 30 min
+    - travel_time from itinerary tags, invalid → 120 min
+    - first stop departs 06:00:00, last at 06:00 + travel_time, interior
+      stops equally spaced by stop count (W6 interpolation)
+    - frequencies row 05:00:00-22:00:00, headway = frequency*60 s
+    - trip_id deterministic from (route_id, itinerary seq) order (O5)
+    """
+    itin_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id")
+    global_order = Window.orderBy("route_id", "seq", "itinerary_osm_id")
+    line_dim = F.broadcast(
+        lines.select("line_osm_id", "route_id", "route_type", F.col("tags").alias("line_tags"))
+    )
+    trips = (
+        itineraries.drop("route_id")
+        .join(line_dim, "line_osm_id")
+        .withColumn("direction_id", (F.row_number().over(itin_order) - 1) % 2)
+        .withColumn("trip_id", F.row_number().over(global_order).cast("string"))
+        .withColumn(
+            "frequency_min",
+            F.coalesce(
+                F.when(
+                    F.try_element_at("line_tags", F.lit("frequency")).cast("int") > 0,
+                    F.try_element_at("line_tags", F.lit("frequency")).cast("int"),
+                ),
+                F.lit(DEFAULT_ROUTE_FREQUENCY),
+            ),
+        )
+        .withColumn(
+            "travel_min",
+            F.coalesce(
+                F.when(
+                    F.try_element_at("tags", F.lit("travel_time")).cast("int") > 0,
+                    F.try_element_at("tags", F.lit("travel_time")).cast("int"),
+                ),
+                F.lit(DEFAULT_TRAVEL_TIME),
+            ),
+        )
+        .select(
+            "trip_id",
+            F.col("route_id"),
+            F.lit("always").alias("service_id"),
+            F.col("itinerary_id").alias("shape_id"),
+            "direction_id",
+            F.col("to").alias("trip_headsign"),
+            "itinerary_osm_id",
+            "frequency_min",
+            "travel_min",
+        )
+    )
+    frequencies = trips.select(
+        "trip_id",
+        F.lit(FREQ_START).alias("start_time"),
+        F.lit(FREQ_END).alias("end_time"),
+        (F.col("frequency_min") * 60).alias("headway_secs"),
+        F.lit(0).alias("exact_times"),
+    )
+    # stop_times: equal-count interpolation between first/last timepoints
+    st = trips.select("trip_id", "itinerary_osm_id", "travel_min").join(
+        itin_stops, "itinerary_osm_id"
+    )
+    n_stops = Window.partitionBy("trip_id")
+    st = st.withColumn("n", F.max(F.col("pos") + 1).over(n_stops)).filter(F.col("n") >= 2)
+    secs = F.lit(FIRST_DEPARTURE_SECS) + F.floor(
+        F.col("travel_min") * 60 * F.col("pos") / (F.col("n") - 1)
+    )
+    stop_times = st.select(
+        "trip_id",
+        secs_to_gtfs(secs).alias("arrival_time"),
+        secs_to_gtfs(secs).alias("departure_time"),
+        "stop_key",
+        (F.col("pos") + 1).alias("stop_sequence"),
+        F.when((F.col("pos") == 0) | (F.col("pos") == F.col("n") - 1), 1)
+        .otherwise(0)
+        .alias("timepoint"),
+    )
+    return trips.drop("itinerary_osm_id", "frequency_min", "travel_min"), frequencies, stop_times
+
+
+# ---------------------------------------------------------------------------
+# Pruning (stops_creator.py:45-61, routes_creator.py:42-58)
+# ---------------------------------------------------------------------------
+
+def prune_unused_stops(stops: DataFrame, stop_times: DataFrame) -> DataFrame:
+    """P15: left anti join — drop stops that no trip visits."""
+    used = stop_times.select("stop_key").distinct()
+    return stops.join(used, "stop_key", "left_semi")
+
+
+def prune_unused_routes(lines: DataFrame, trips: DataFrame) -> DataFrame:
+    """P16: left anti join — drop routes with zero trips."""
+    used = trips.select("route_id").distinct()
+    return lines.join(used, "route_id", "left_semi")

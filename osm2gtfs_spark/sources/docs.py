@@ -200,6 +200,10 @@ def synthesize_city(spec: CitySpec) -> pd.DataFrame:
                 "name": f"Route {line_i} variant {var_i}",
                 "from": stop_names[0] if stop_names else f"From {line_i}",
                 "to": stop_names[-1] if stop_names else f"To {line_i}",
+                # reference reads travel_time from the route variant's tags
+                # (gh_accra/trips_creator_gh_accra.py:73-86); one invalid per
+                # a few lines to exercise the default fallback
+                "travel_time": str(30 + (line_i % 3) * 10) if line_i % 5 else "-5",
             }
             if var_i == 0 and spec.with_schedule:
                 vtags["via"] = f"Via {line_i}"
@@ -215,7 +219,6 @@ def synthesize_city(spec: CitySpec) -> pd.DataFrame:
                 "name": f"Line {line_i}",
                 "colour": _COLOURS[line_i % len(_COLOURS)],
                 "frequency": str(10 + (line_i % 4) * 5) if line_i % 7 else "not_a_number",
-                "travel_time": str(30 + (line_i % 3) * 10),
             }
             add_doc(
                 f"relation/{master_id}",
