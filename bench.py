@@ -1,0 +1,92 @@
+"""Benchmark harness — one JSON line for the driver.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus the transit
+pipeline on a scaled synthetic city, and prints::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "gtfs_rows_per_sec": ...}
+
+Each query is timed to full materialization (count of the result), not
+plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osm2gtfs_spark.plans import queries as Q
+from osm2gtfs_spark.plans.pipeline import run_frequency_pipeline
+from osm2gtfs_spark.session import build_session
+from osm2gtfs_spark.sources import docs as D
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "cell_encode",
+    "tile_coverage",
+    "knn_snap",
+    "point_in_polygon",
+    "master_variant_full_outer",
+    "dedup_exact",
+    "quality_score",
+]
+
+BENCH_CITY = D.CitySpec(n_lines=40, variants_per_line=2, stops_per_variant=12)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        fn(spark, sf_dir).count()  # warm: parquet footer cache + JIT
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # transit pipeline throughput (the BASELINE.json metric numerator)
+    docs = D.docs_df(spark, BENCH_CITY, n_partitions=32).cache()
+    docs.count()
+    t0 = time.time()
+    tables = run_frequency_pipeline(docs)
+    gtfs_rows = (
+        tables.stop_times.count()
+        + tables.stops.count()
+        + tables.routes.count()
+        + tables.trips.count()
+        + tables.shapes.count()
+        + tables.frequencies.count()
+    )
+    pipeline_sec = round(time.time() - t0, 3)
+    timings["gtfs_pipeline"] = pipeline_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + GTFS pipeline wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "gtfs_rows": gtfs_rows,
+                "gtfs_rows_per_sec": round(gtfs_rows / pipeline_sec, 1),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

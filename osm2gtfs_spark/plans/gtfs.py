@@ -382,19 +382,17 @@ def secs_to_gtfs(col):
     )
 
 
-def frequency_trips(
-    lines: DataFrame, itineraries: DataFrame, itin_stops: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Accra path: one trip per itinerary + frequencies + stop_times.
+def build_trips(lines: DataFrame, itineraries: DataFrame) -> DataFrame:
+    """Accra path: one trip per itinerary, with frequency/travel columns.
 
     Semantics (gh_accra/trips_creator_gh_accra.py:40-110):
     - direction_id alternates over the line's itineraries (W3)
     - headsign = 'to' tag; frequency from line tags, invalid → 30 min
     - travel_time from itinerary tags, invalid → 120 min
-    - first stop departs 06:00:00, last at 06:00 + travel_time, interior
-      stops equally spaced by stop count (W6 interpolation)
-    - frequencies row 05:00:00-22:00:00, headway = frequency*60 s
     - trip_id deterministic from (route_id, itinerary seq) order (O5)
+
+    Callers should cache the result: frequencies, stop_times and both
+    prune passes all consume it.
     """
     itin_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id")
     global_order = Window.orderBy("route_id", "seq", "itinerary_osm_id")
@@ -438,14 +436,25 @@ def frequency_trips(
             "travel_min",
         )
     )
-    frequencies = trips.select(
+    return trips
+
+
+def build_frequencies(trips: DataFrame) -> DataFrame:
+    """frequencies rows 05:00-22:00, headway = frequency*60 s."""
+    return trips.select(
         "trip_id",
         F.lit(FREQ_START).alias("start_time"),
         F.lit(FREQ_END).alias("end_time"),
         (F.col("frequency_min") * 60).alias("headway_secs"),
         F.lit(0).alias("exact_times"),
     )
-    # stop_times: equal-count interpolation between first/last timepoints
+
+
+def build_stop_times(trips: DataFrame, itin_stops: DataFrame) -> DataFrame:
+    """W6: equal-count interpolation between first/last timepoints.
+
+    First stop departs 06:00:00, last at 06:00 + travel_time, interior
+    stops equally spaced by stop count (transitfeed interpolation)."""
     st = trips.select("trip_id", "itinerary_osm_id", "travel_min").join(
         itin_stops, "itinerary_osm_id"
     )
@@ -454,7 +463,7 @@ def frequency_trips(
     secs = F.lit(FIRST_DEPARTURE_SECS) + F.floor(
         F.col("travel_min") * 60 * F.col("pos") / (F.col("n") - 1)
     )
-    stop_times = st.select(
+    return st.select(
         "trip_id",
         secs_to_gtfs(secs).alias("arrival_time"),
         secs_to_gtfs(secs).alias("departure_time"),
@@ -464,7 +473,6 @@ def frequency_trips(
         .otherwise(0)
         .alias("timepoint"),
     )
-    return trips.drop("itinerary_osm_id", "frequency_min", "travel_min"), frequencies, stop_times
 
 
 # ---------------------------------------------------------------------------

@@ -34,11 +34,20 @@ def run_frequency_pipeline(
     name_without: str = "stop",
     feed_start: str = "20240101",
     feed_end: str = "20250101",
+    persist: bool = True,
 ) -> GtfsTables:
-    """docs → decoded entities → GTFS tables via the frequency path."""
+    """docs → decoded entities → GTFS tables via the frequency path.
+
+    ``persist=True`` caches the stages consumed by multiple sinks
+    (decoded entities, trips) — the GTFS DAG fans out into 6+ output
+    tables, and without this every sink re-runs the decode and joins.
+    On a cluster these become checkpoint table writes instead
+    (sources/checkpoint.py), which also give resume."""
     nodes = docs_mod.decode_nodes(docs)
     ways = docs_mod.decode_ways(docs)
     relations = docs_mod.decode_relations(docs)
+    if persist:
+        nodes, ways, relations = nodes.cache(), ways.cache(), relations.cache()
 
     stops = gtfs.build_stops(nodes, ways, name_without)
     stations, parent_map = gtfs.build_stations(relations, stops)
@@ -48,7 +57,14 @@ def run_frequency_pipeline(
         "shape_id",
         F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
     )
-    trips, frequencies, stop_times = gtfs.frequency_trips(lines, itineraries, itin_stops)
+    trips_full = gtfs.build_trips(lines, itineraries)
+    if persist:
+        trips_full = trips_full.cache()
+    frequencies = gtfs.build_frequencies(trips_full)
+    stop_times = gtfs.build_stop_times(trips_full, itin_stops)
+    if persist:
+        stop_times = stop_times.cache()
+    trips = trips_full.drop("itinerary_osm_id", "frequency_min", "travel_min")
 
     stops_final = gtfs.prune_unused_stops(stops, stop_times).join(
         F.broadcast(parent_map), "stop_key", "left"
