@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2gtfs_spark.plans import gtfs
@@ -92,3 +92,139 @@ def run_frequency_pipeline(
         calendar=calendar,
         stations=stations,
     )
+
+
+def run_schedule_pipeline(
+    docs: DataFrame,
+    name_without: str = "stop",
+    feed_start: str = "20240101",
+    feed_end: str = "20250101",
+    persist: bool = True,
+) -> GtfsTables:
+    """docs → GTFS tables via the schedule-join (Managua) path.
+
+    Stage order mirrors osm2gtfs.py:78-93; the schedule join (J5), the
+    cursor alignment (J7) and count-interpolation (W6) live in
+    :mod:`osm2gtfs_spark.plans.schedule_path`."""
+    from osm2gtfs_spark.plans import schedule_path as SP
+
+    nodes = docs_mod.decode_nodes(docs)
+    ways = docs_mod.decode_ways(docs)
+    relations = docs_mod.decode_relations(docs)
+    schedule = docs_mod.decode_schedule(docs)
+    if persist:
+        nodes, ways, relations = nodes.cache(), ways.cache(), relations.cache()
+
+    stops = gtfs.build_stops(nodes, ways, name_without)
+    stations, parent_map = gtfs.build_stations(relations, stops)
+    lines, itineraries = gtfs.build_lines(relations)
+    itin_stops = gtfs.itinerary_stops(relations)
+    shapes = gtfs.build_shapes(relations, ways, nodes).withColumn(
+        "shape_id",
+        F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
+    )
+
+    # stop rows with name + parent-station name (J7 fallback input)
+    itin_stops_named = (
+        itin_stops.join(F.broadcast(stops.select("stop_key", "name")), "stop_key", "left")
+        .join(F.broadcast(parent_map), "stop_key", "left")
+        .join(
+            F.broadcast(
+                stations.select(
+                    F.col("station_key").alias("parent_station"),
+                    F.col("name").alias("parent_name"),
+                )
+            ),
+            "parent_station",
+            "left",
+        )
+        .select("itinerary_osm_id", "pos", "stop_key", "name", "parent_name")
+    )
+
+    matched = SP.match_schedule(itineraries, schedule)
+    per_service = SP.itinerary_service_schedule(matched)
+    if persist:
+        per_service = per_service.cache()
+    aligned = SP.align_stops(itin_stops_named, per_service)
+    filled = SP.interpolate_times(aligned)
+
+    trip_order = Window.orderBy("route_id", "itinerary_osm_id", "service", "trip_seq")
+    trips_full = (
+        per_service.select(
+            "itinerary_osm_id",
+            "service",
+            "route_id",
+            "to",
+            "itinerary_id",
+            F.posexplode("times").alias("trip_seq", "_times"),
+        )
+        .withColumn("trip_id", F.row_number().over(trip_order).cast("string"))
+        .select(
+            "trip_id",
+            "route_id",
+            SP.service_id_col().alias("service_id"),
+            F.col("itinerary_id").alias("shape_id"),
+            F.col("to").alias("trip_headsign"),
+            "itinerary_osm_id",
+            "service",
+            "trip_seq",
+        )
+    )
+    if persist:
+        trips_full = trips_full.cache()
+
+    st_order = Window.partitionBy("trip_id").orderBy("pos")
+    stop_times = (
+        filled.join(
+            trips_full.select("trip_id", "itinerary_osm_id", "service", "trip_seq"),
+            ["itinerary_osm_id", "service", "trip_seq"],
+        )
+        .filter(F.col("time_secs_filled").isNotNull())
+        .select(
+            "trip_id",
+            gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("arrival_time"),
+            gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("departure_time"),
+            "stop_key",
+            F.row_number().over(st_order).alias("stop_sequence"),
+            "timepoint",
+            "pos",
+        )
+        .drop("pos")
+    )
+    if persist:
+        stop_times = stop_times.cache()
+
+    # trips that lost all stops (invalid-time truncation at the first
+    # stop) produce no stop_times and are pruned like unused routes
+    live_trips = trips_full.join(
+        stop_times.select("trip_id").distinct(), "trip_id", "left_semi"
+    )
+    trips = live_trips.drop("itinerary_osm_id", "service", "trip_seq")
+
+    calendar, calendar_dates = SP.build_calendar(
+        per_service.select("service"), feed_start, feed_end
+    )
+    stops_final = gtfs.prune_unused_stops(stops, stop_times).join(
+        F.broadcast(parent_map), "stop_key", "left"
+    )
+    routes_final = gtfs.prune_unused_routes(lines, trips).select(
+        "route_id",
+        F.col("name").alias("route_long_name"),
+        F.col("route_id").alias("route_short_name"),
+        "route_type",
+        F.col("colour").alias("route_color"),
+    )
+    tables = GtfsTables(
+        stops=stops_final,
+        routes=routes_final,
+        trips=trips,
+        stop_times=stop_times,
+        shapes=shapes,
+        frequencies=trips.sparkSession.createDataFrame(
+            [], "trip_id string, start_time string, end_time string, headway_secs int, exact_times int"
+        ),
+        calendar=calendar,
+        stations=stations,
+    )
+    tables.calendar_dates = calendar_dates  # type: ignore[attr-defined]
+    return tables

@@ -154,10 +154,24 @@ def synthesize_city(spec: CitySpec) -> pd.DataFrame:
             members: list[str] = []
             stop_names: list[str] = []
             # platform stops
-            for stop_i in range(spec.stops_per_variant):
+            n_sv = spec.stops_per_variant
+            for stop_i in range(n_sv):
                 lat, lon = rand_pt()
                 tags = {"public_transport": "platform", "bus": "yes"}
-                if rng.random() >= spec.unnamed_stop_ratio:
+                # schedule cities force-name terminal + mid stops so the
+                # timetable's station names resolve (trips_creator.py:195-245)
+                if spec.with_schedule and stop_i in (0, n_sv // 2, n_sv - 1):
+                    ends = ("A", "B") if var_i % 2 == 0 else ("B", "A")
+                    nm = (
+                        f"Terminal {line_i}{ends[0]}"
+                        if stop_i == 0
+                        else f"Terminal {line_i}{ends[1]}"
+                        if stop_i == n_sv - 1
+                        else f"Mid {line_i}"
+                    )
+                    tags["name"] = nm
+                    stop_names.append(nm)
+                elif rng.random() >= spec.unnamed_stop_ratio:
                     if rng.random() < spec.duplicate_name_ratio:
                         nm = rng.choice(platform_names)
                     else:
@@ -250,21 +264,31 @@ def synthesize_city(spec: CitySpec) -> pd.DataFrame:
 
     if spec.with_schedule:
         for line_i in range(spec.n_lines):
-            # one schedule row per direction; deterministic departure matrix
-            for d, (frm, to) in enumerate(
-                [(f"From {line_i}", f"To {line_i}"), (f"To {line_i}", f"From {line_i}")]
-            ):
-                stations = [f"Stop {line_i}-0-0", f"Stop {line_i}-0-{spec.stops_per_variant - 1}"]
+            # one schedule row per direction, matching the forced variant
+            # from/to names; 3 timed stations (terminal, mid, terminal)
+            for d in range(min(2, spec.variants_per_line)):
+                ends = ("A", "B") if d % 2 == 0 else ("B", "A")
+                frm, to = f"Terminal {line_i}{ends[0]}", f"Terminal {line_i}{ends[1]}"
+                stations = [frm, f"Mid {line_i}", to]
                 times = [
-                    [f"{6 + h}:{line_i * 5:02d}", f"{6 + h}:{line_i * 5 + 35:02d}"]
+                    [f"{6 + h}:{line_i % 6:02d}", f"{6 + h}:{line_i % 6 + 20:02d}", f"{6 + h}:{line_i % 6 + 45:02d}"]
                     for h in range(3)
                 ]
+                if line_i == 0 and d == 0:
+                    times.append(["9:00", "9:99", "9:45"])  # invalid mid time → truncation path
+                # variant 0 has a via tag; the composite join is null-safe on
+                # via (J5), so the schedule row must carry it. The last line's
+                # via is deliberately wrong → its Mo-Fr row matches nothing
+                # (reference logs "From and to values didn't match").
+                via = None
+                if d == 0:
+                    via = f"Via {line_i}" if line_i < spec.n_lines - 1 else "Wrong Via"
                 payload = {
                     "route_ref": str(line_i),
                     "from": frm,
                     "to": to,
-                    "via": None,
-                    "services": ["Mo-Fr"] if d == 0 else ["Sa", "Su"],
+                    "via": via,
+                    "services": ["Mo-Fr"] if d == 0 else ["Sa", "Su", "2024-12-25"],
                     "stations": stations,
                     "times": times,
                 }

@@ -75,8 +75,8 @@ def test_decode_relations_members(city):
 def test_decode_schedule(city):
     sched = D.decode_schedule(city)
     r = sched.filter(F.col("route_ref") == "1").filter(F.col("services")[0] == "Mo-Fr").first()
-    assert r["from"] == "From 1" and r["to"] == "To 1"
-    assert len(r.times) == 3 and len(r.times[0]) == len(r.stations) == 2
+    assert r["from"] == "Terminal 1A" and r["to"] == "Terminal 1B"
+    assert len(r.times) == 3 and len(r.times[0]) == len(r.stations) == 3
 
 
 def test_span_sequence_survives_shuffle(city):
