@@ -94,6 +94,91 @@ def run_frequency_pipeline(
     )
 
 
+def run_frequency_pipeline_checkpointed(
+    docs: DataFrame,
+    catalog,
+    name_without: str = "stop",
+) -> GtfsTables:
+    """Frequency pipeline with every stage materialized to the
+    checkpoint catalog — a killed job resumes at the first incomplete
+    stage (north rule). Stage DAG mirrors run_frequency_pipeline."""
+    cat = catalog
+    nodes = cat.run_stage("nodes", lambda: docs_mod.decode_nodes(docs), ["docs"])
+    ways = cat.run_stage("ways", lambda: docs_mod.decode_ways(docs), ["docs"])
+    relations = cat.run_stage("relations", lambda: docs_mod.decode_relations(docs), ["docs"])
+    stops = cat.run_stage(
+        "stops", lambda: gtfs.build_stops(nodes, ways, name_without), ["nodes", "ways"]
+    )
+    lines = cat.run_stage(
+        "lines", lambda: gtfs.build_lines(relations)[0], ["relations"]
+    )
+    itineraries = cat.run_stage(
+        "itineraries", lambda: gtfs.build_lines(relations)[1], ["relations"]
+    )
+    itin_stops = cat.run_stage(
+        "itin_stops", lambda: gtfs.itinerary_stops(relations), ["relations"]
+    )
+    shapes = cat.run_stage(
+        "shapes",
+        lambda: gtfs.build_shapes(relations, ways, nodes).withColumn(
+            "shape_id",
+            F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
+        ),
+        ["relations", "ways", "nodes"],
+    )
+    trips_full = cat.run_stage(
+        "trips", lambda: gtfs.build_trips(lines, itineraries), ["lines", "itineraries"]
+    )
+    frequencies = cat.run_stage(
+        "frequencies", lambda: gtfs.build_frequencies(trips_full), ["trips"]
+    )
+    stop_times = cat.run_stage(
+        "stop_times",
+        lambda: gtfs.build_stop_times(trips_full, itin_stops),
+        ["trips", "itin_stops"],
+    )
+    stations_df = cat.run_stage(
+        "stations", lambda: gtfs.build_stations(relations, stops)[0], ["relations", "stops"]
+    )
+    parent_map = cat.run_stage(
+        "parent_map", lambda: gtfs.build_stations(relations, stops)[1], ["relations", "stops"]
+    )
+    stops_final = cat.run_stage(
+        "stops_final",
+        lambda: gtfs.prune_unused_stops(stops, stop_times).join(
+            F.broadcast(parent_map), "stop_key", "left"
+        ),
+        ["stops", "stop_times", "parent_map"],
+    )
+    routes_final = cat.run_stage(
+        "routes_final",
+        lambda: gtfs.prune_unused_routes(lines, trips_full).select(
+            "route_id",
+            F.col("name").alias("route_long_name"),
+            F.col("route_id").alias("route_short_name"),
+            "route_type",
+            F.col("colour").alias("route_color"),
+        ),
+        ["lines", "trips"],
+    )
+    spark = docs.sparkSession
+    calendar = spark.createDataFrame(
+        [("always", 1, 1, 1, 1, 1, 1, 1, "20240101", "20250101")],
+        "service_id string, monday int, tuesday int, wednesday int, thursday int,"
+        " friday int, saturday int, sunday int, start_date string, end_date string",
+    )
+    return GtfsTables(
+        stops=stops_final,
+        routes=routes_final,
+        trips=trips_full.drop("itinerary_osm_id", "frequency_min", "travel_min"),
+        stop_times=stop_times,
+        shapes=shapes,
+        frequencies=frequencies,
+        calendar=calendar,
+        stations=stations_df,
+    )
+
+
 def run_schedule_pipeline(
     docs: DataFrame,
     name_without: str = "stop",
