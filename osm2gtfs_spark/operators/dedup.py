@@ -1,0 +1,157 @@
+"""Deduplication operators over document corpora.
+
+The 100 TB training-data surface: exact dedup, MinHash+LSH banding,
+n-gram Jaccard verification, SimHash. All the LSH machinery is pure
+column expressions over MD5 — chosen deliberately: MD5 is bit-identical
+in every engine (so the DuckDB correctness oracle reproduces the exact
+same signatures), is computed JVM-side inside codegen, and its
+lexicographic MIN over hex strings is a valid minhash.
+
+Scale shape: signatures are per-row map work (no shuffle); the LSH
+candidate join shuffles on (band_idx, band_hash) — collision buckets
+only, never all-pairs; exact Jaccard verification runs only on
+candidate pairs. Hot buckets (boilerplate text) are the skew case: cap
+bucket size or salt — see ``lsh_candidate_pairs(max_bucket)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingles(text_col, n: int = 3) -> Column:
+    """Word n-gram shingles, 1-based element_at (mirrors SQL oracles)."""
+    toks = F.split(text_col, " ", -1)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    """Identical shingling in DuckDB SQL (1-based lists)."""
+    toks = f"string_split({text_expr}, ' ')"
+    parts = " || ' ' || ".join(
+        [f"COALESCE({toks}[i + {j}], '')" if j else f"{toks}[i]" for j in range(n)]
+    )
+    # DuckDB concat_ws skips NULLs like Spark; emulate via list_transform
+    cat = ", ".join([f"{toks}[i + {j}]" for j in range(n)])
+    return (
+        f"list_distinct(list_transform(range(1, GREATEST(LEN({toks}) - {n - 1}, 1) + 1),"
+        f" i -> concat_ws(' ', {cat})))"
+    )
+
+
+def _salted_min(sh: Column, salt: str) -> Column:
+    # NB: the transform lambda must be single-arg — PySpark passes the
+    # array index as a second argument when the lambda's arity is 2,
+    # which would silently replace a closed-over default parameter.
+    salt_col = F.lit(salt)
+    return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(salt_col, s))))
+
+
+def minhash_signature(sh: Column, k: int = 8) -> list[Column]:
+    """k minhashes: lexicographic MIN of salted MD5 over the shingle set."""
+    return [_salted_min(sh, f"{i}:").alias(f"mh{i}") for i in range(k)]
+
+
+def minhash_signature_sql(sh_expr: str, k: int = 8) -> list[str]:
+    return [
+        f"list_aggregate(list_transform({sh_expr}, s -> md5('{i}:' || s)), 'min') AS mh{i}"
+        for i in range(k)
+    ]
+
+
+def minhash_bands(doc_id: str, text_col: str, docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFrame:
+    """docs → (doc_id, band_idx, band_hash): the LSH bucketing table."""
+    sig = docs.select(F.col(doc_id), *minhash_signature(shingles(F.col(text_col)), k))
+    n_bands = k // band_size
+    bands = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]))
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(doc_id, F.posexplode(bands).alias("band_idx", "band_hash"))
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, doc_id: str = "doc_id", max_bucket: int | None = 1000
+) -> DataFrame:
+    """Self-join per band bucket → distinct candidate pairs (a < b).
+
+    ``max_bucket`` drops degenerate buckets (boilerplate/empty text that
+    collides everywhere) — the skew guard: a bucket of size m yields
+    m²/2 pairs, so one hot bucket can dominate the whole join."""
+    if max_bucket is not None:
+        sizes = bands.groupBy("band_idx", "band_hash").count()
+        bands = (
+            bands.join(
+                F.broadcast(sizes.filter(F.col("count") > max_bucket)),
+                ["band_idx", "band_hash"],
+                "left_anti",
+            )
+        )
+    a = bands.select(F.col(doc_id).alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col(doc_id).alias("doc_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(pairs: DataFrame, docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (permille, floored)."""
+    sh = docs.select(F.col(doc_id), shingles(F.col(text_col), n).alias("sh"))
+    j = (
+        pairs.join(sh.select(F.col(doc_id).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(doc_id).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.floor(inter * 1000.0 / union).cast("long").alias("jaccard_permille"),
+    )
+
+
+def simhash64(text_col) -> Column:
+    """64-bit SimHash from xxhash64 token hashes (engine-side only).
+
+    Per-bit majority vote over token hashes, vectorized as 64 parallel
+    aggregations of ±1 contributions folded with array arithmetic. Used
+    for near-dup banding by hamming distance; verified in tests against
+    a pandas brute-force oracle (no SQL oracle — xxhash64 is
+    Spark-specific)."""
+    toks = F.array_distinct(F.split(text_col, " ", -1))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(bit: int):
+        # two-arg merge lambda only: PySpark dispatches on lambda arity,
+        # so the bit index must be captured by this enclosing function
+        def merge(acc, h):
+            return acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+        return F.aggregate(th, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        # shiftleft wraps bit 63 into the long sign bit (2**63 would
+        # overflow a literal); bitwiseOR assembles the fingerprint
+        weight = F.shiftleft(F.lit(1).cast("long"), i)
+        out = out.bitwiseOR(F.when(_vote(i) > 0, weight).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def exact_dedup(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: min doc_id per identical text hash (hash-groupBy)."""
+    return docs.groupBy(F.md5(text_col).alias("text_md5")).agg(
+        F.min(doc_id).alias("keeper_doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )

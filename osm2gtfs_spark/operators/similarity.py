@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk_bruteforce` — the exactness baseline: explicit
+  crossJoin of a *small* query set against the corpus. Only legal for
+  bounded query sets (the session bans implicit cartesian products);
+  at corpus scale use the bucketed variant.
+- :func:`hyperplane_buckets` / :func:`cosine_topk_lsh` — the scale
+  path: random-hyperplane LSH. Each vector gets a sign-pattern bucket
+  from R fixed hyperplanes; candidates share a bucket (multi-probe via
+  several independent tables), so the join is equi on (table, bucket)
+  and shuffles only collisions. Recall vs brute force is asserted in
+  tests, not assumed.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side, no UDF.
+Hyperplanes are seeded numpy, broadcast as literal arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (baseline).
+
+    ``queries`` must be small (it is broadcast and cross-joined)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    j = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    j = j.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed + 1000 * table)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket): sign-pattern LSH bucket per hash table."""
+    out = None
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, t, seed)
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            bucket = bucket + F.when(dot(F.col(vec_col), plane) > 0, F.lit(2**p)).otherwise(0)
+        part = vectors.select(
+            F.col(id_col), F.lit(t).alias("table"), bucket.alias("bucket")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in any table."""
+    qb = hyperplane_buckets(queries, dim, n_planes, n_tables, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    j = (
+        cand.join(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+            "query_id",
+        )
+        .join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+            "neighbor_id",
+        )
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + threshold."""
+    b = hyperplane_buckets(vectors, dim, id_col=id_col, vec_col=vec_col)
+    a = b.withColumnRenamed(id_col, "id_a")
+    c = b.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(c, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col))
+    j = (
+        cand.join(v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")), "id_b")
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+    )
+    return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")

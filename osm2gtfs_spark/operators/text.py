@@ -1,0 +1,77 @@
+"""Text analysis operators: language-ID, quality, fingerprinting.
+
+All pure column expressions (whole-stage codegen); formulas are chosen
+to be reproducible verbatim in the DuckDB oracle (integer outputs,
+MD5-based fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des"],
+}
+
+
+def _stop_hits(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_id(text_col) -> Column:
+    """N-gram/stopword heuristic language ID: argmax of stopword hits,
+    'und' when nothing matches. Deterministic tie-break en > es > fr."""
+    toks = F.split(text_col, " ", -1)
+    en, es, fr = (_stop_hits(toks, lang) for lang in ("en", "es", "fr"))
+    return (
+        F.when((en >= es) & (en >= fr) & (en > 0), "en")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+
+
+def lang_id_sql(text_expr: str) -> str:
+    def hits(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"LEN(list_filter(string_split({text_expr}, ' '), t -> t IN ({words})))"
+
+    en, es, fr = hits("en"), hits("es"), hits("fr")
+    return (
+        f"CASE WHEN {en} >= {es} AND {en} >= {fr} AND {en} > 0 THEN 'en' "
+        f"WHEN {es} >= {fr} AND {es} > 0 THEN 'es' "
+        f"WHEN {fr} > 0 THEN 'fr' ELSE 'und' END"
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword token counting."""
+    toks = F.split(F.col(text_col), " ", -1)
+    # BPE-ish proxy: alnum runs + punctuation as separate tokens
+    bpe = F.split(F.regexp_replace(F.col(text_col), r"([^\w\s])", r" $1 "), r"\s+", -1)
+    return docs.withColumn("n_tokens_ws", F.size(toks).cast("long")).withColumn(
+        "n_tokens_bpe", F.size(F.filter(bpe, lambda t: t != "")).cast("long")
+    )
+
+
+def fingerprint(text_col) -> Column:
+    """Document fingerprint: lexicographic-min MD5 over 5-gram shingles
+    (a 1-hash winnowing stand-in) — stable under token reordering noise
+    is NOT the goal; byte-level dedup keying is."""
+    toks = F.split(text_col, " ", -1)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(5)]),
+    )
+    return F.array_min(F.transform(sh, F.md5))
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    toks = f"string_split({text_expr}, ' ')"
+    cat = ", ".join([f"{toks}[i + {j}]" for j in range(5)])
+    sh = f"list_transform(range(1, GREATEST(LEN({toks}) - 4, 1) + 1), i -> concat_ws(' ', {cat}))"
+    return f"list_aggregate(list_transform({sh}, s -> md5(s)), 'min')"

@@ -35,6 +35,10 @@ from osm2gtfs_spark.operators.spatial import (
     point_in_convex_polygon_sql,
     tile_coverage,
 )
+from osm2gtfs_spark.operators import dedup as DD
+from osm2gtfs_spark.operators import multimodal as MM
+from osm2gtfs_spark.operators import similarity as SIM
+from osm2gtfs_spark.operators import text as TXT
 from osm2gtfs_spark.sources import tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -426,3 +430,358 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stopword_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (MinHash+LSH, n-gram Jaccard) — full SQL oracles
+# ---------------------------------------------------------------------------
+
+_SH_SQL = DD.shingles_sql("text", 3)
+_MH_SQL = ", ".join(DD.minhash_signature_sql("sh", 8))
+_LSH_CTE = f"""
+WITH s AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+     sig AS (SELECT doc_id, {_MH_SQL} FROM s),
+     bands AS (SELECT doc_id, b.band_idx,
+              CASE b.band_idx WHEN 0 THEN md5(mh0 || '|' || mh1)
+                              WHEN 1 THEN md5(mh2 || '|' || mh3)
+                              WHEN 2 THEN md5(mh4 || '|' || mh5)
+                              ELSE md5(mh6 || '|' || mh7) END AS band_hash
+       FROM sig, (SELECT UNNEST(range(0,4)) AS band_idx) b),
+     pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       WHERE a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    _LSH_CTE + "SELECT doc_a, doc_b FROM pairs",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH banding (4 bands × 2): candidate near-dup pairs.
+
+    The whole signature chain is MD5-based column math, reproduced
+    bit-identically by the oracle."""
+    docs = tpch.load(spark, sf_dir, "documents")
+    bands = DD.minhash_bands("doc_id", "text", docs, k=8, band_size=2)
+    return DD.lsh_candidate_pairs(bands)
+
+
+@register(
+    "ngram_jaccard_dedup",
+    _LSH_CTE
+    + """
+    SELECT p.doc_a, p.doc_b,
+           CAST(FLOOR(LEN(list_intersect(x.sh, y.sh)) * 1000.0
+                / LEN(list_distinct(x.sh || y.sh))) AS BIGINT) AS jaccard_permille
+    FROM pairs p JOIN s x ON p.doc_a = x.doc_id JOIN s y ON p.doc_b = y.doc_id
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verification on the LSH candidate pairs."""
+    docs = tpch.load(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(DD.minhash_bands("doc_id", "text", docs, 8, 2))
+    return DD.ngram_jaccard(pairs, docs)
+
+
+@register("simhash_near_dup")  # rows-only: xxhash64 is Spark-specific
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) banding: near-dup candidates by 16-bit band collision.
+
+    No SQL oracle (xxhash64); validated in tests against a pandas
+    brute-force hamming-distance oracle."""
+    docs = tpch.load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[(F.shiftrightunsigned("simhash", i * 16) % F.lit(65536)).cast("long") for i in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+@register(
+    "lang_id",
+    f"SELECT doc_id, {TXT.lang_id_sql('text')} AS pred_lang FROM documents",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID."""
+    d = tpch.load(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {TXT.fingerprint_sql('text')} AS fp,
+           LEN(list_distinct({DD.shingles_sql('text', 5)})) AS n_shingles
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-MD5 over 5-gram shingles + shingle count."""
+    d = tpch.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.fingerprint(F.col("text")).alias("fp"),
+        F.size(F.array_distinct(DD.shingles(F.col("text"), 5))).cast("long").alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family: gap-fill interpolation (W6) and as-of join (J7 analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gap_fill_interpolation",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) END AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+      FROM events),
+    anchored AS (
+      SELECT *,
+        MAX(CASE WHEN cents IS NOT NULL THEN idx END)
+            OVER (PARTITION BY user_id ORDER BY idx
+                  ROWS UNBOUNDED PRECEDING) AS prev_i,
+        LAST_VALUE(cents IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY idx
+                  ROWS UNBOUNDED PRECEDING) AS prev_c,
+        MIN(CASE WHEN cents IS NOT NULL THEN idx END)
+            OVER (PARTITION BY user_id ORDER BY idx
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i,
+        FIRST_VALUE(cents IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY idx
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c
+      FROM e)
+    SELECT event_id, user_id,
+           CASE WHEN cents IS NOT NULL THEN cents
+                WHEN prev_c IS NULL OR next_c IS NULL THEN NULL
+                ELSE prev_c + CAST(FLOOR((next_c - prev_c) * 1.0
+                     * (idx - prev_i) / (next_i - prev_i)) AS BIGINT)
+           END AS cents_filled
+    FROM anchored
+    """,
+)
+def gap_fill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 as a generic operator: linear gap-fill between anchor rows.
+
+    Identical shape to the stop_times interpolation (schedule_path
+    .interpolate_times), applied to the events stream: 'purchase' rows
+    are anchors, everything between is count-interpolated."""
+    e = tpch.load(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    w_idx = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = e.select("event_id", "user_id", "ts", cents.alias("cents")).withColumn(
+        "idx", F.row_number().over(w_idx)
+    )
+    w_back = Window.partitionBy("user_id").orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.partitionBy("user_id").orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    anchor_i = F.when(F.col("cents").isNotNull(), F.col("idx"))
+    df = (
+        df.withColumn("prev_i", F.max(anchor_i).over(w_back))
+        .withColumn("prev_c", F.last("cents", ignorenulls=True).over(w_back))
+        .withColumn("next_i", F.min(anchor_i).over(w_fwd))
+        .withColumn("next_c", F.first("cents", ignorenulls=True).over(w_fwd))
+    )
+    interp = F.col("prev_c") + F.floor(
+        (F.col("next_c") - F.col("prev_c"))
+        * 1.0
+        * (F.col("idx") - F.col("prev_i"))
+        / (F.col("next_i") - F.col("prev_i"))
+    ).cast("long")
+    return df.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("prev_c").isNull() | F.col("next_c").isNull(), F.lit(None))
+        .otherwise(interp)
+        .alias("cents_filled"),
+    )
+
+
+@register(
+    "asof_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS p_id
+      FROM events),
+    m AS (
+      SELECT *,
+        LAST_VALUE(p_id IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_purchase_id
+      FROM e)
+    SELECT event_id, user_id, asof_purchase_id
+    FROM m WHERE event_type = 'view'
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each view event → most recent strictly-prior purchase
+    by the same user (the generic form of J7's ordered matching)."""
+    e = tpch.load(spark, sf_dir, "events")
+    p_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.select("event_id", "user_id", "ts", "event_type", p_id.alias("p_id"))
+        .withColumn("asof_purchase_id", F.last("p_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "asof_purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family: exact-decimal centroid, order-preserving set agg
+# ---------------------------------------------------------------------------
+
+@register(
+    "stop_centroid_by_nation",
+    f"""
+    WITH s AS ({tpch.STOPS_SQL})
+    SELECT nationkey,
+           CAST(SUM(CAST(lat AS DECIMAL(14,3))) AS DOUBLE) AS sum_lat,
+           CAST(SUM(CAST(lon AS DECIMAL(14,3))) AS DOUBLE) AS sum_lon,
+           COUNT(*) AS n
+    FROM s GROUP BY nationkey
+    """,
+)
+def stop_centroid_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog with exact arithmetic: per-group coordinate sums as
+    DECIMAL (addition-order independent) — the centroid is sum/n.
+    The spherical (trig) centroid is exercised in pipeline tests where
+    tolerance comparison is possible; hash-compared outputs avoid trig."""
+    s = tpch.stops(spark, sf_dir)
+    return s.groupBy("nationkey").agg(
+        F.sum(F.col("lat").cast("decimal(14,3)")).cast("double").alias("sum_lat"),
+        F.sum(F.col("lon").cast("decimal(14,3)")).cast("double").alias("sum_lon"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "service_dedup_agg",
+    """
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_distinct
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def service_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: order-insensitive service-set dedup as sorted distinct agg."""
+    o = tpch.load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_distinct"),
+    )
+
+
+@register(
+    "color_contrast",
+    """
+    SELECT c_custkey,
+           ((c_custkey * 7) % 256) AS r, ((c_custkey * 11) % 256) AS g,
+           ((c_custkey * 13) % 256) AS b,
+           CASE WHEN (((c_custkey * 7) % 256) * 299
+                    + ((c_custkey * 11) % 256) * 587
+                    + ((c_custkey * 13) % 256) * 114) / 1000 > 125
+                THEN '000000' ELSE 'ffffff' END AS text_color
+    FROM customer
+    """,
+)
+def color_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: perceived-brightness text-colour choice (helper.py:96-114) —
+    pure integer column math on synthesized RGB."""
+    c = tpch.load(spark, sf_dir, "customer")
+    r = (F.col("c_custkey") * 7) % 256
+    g = (F.col("c_custkey") * 11) % 256
+    b = (F.col("c_custkey") * 13) % 256
+    brightness = (r * 299 + g * 587 + b * 114) / 1000
+    return c.select(
+        "c_custkey",
+        r.alias("r"),
+        g.alias("g"),
+        b.alias("b"),
+        F.when(brightness > 125, "000000").otherwise("ffffff").alias("text_color"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity family (ANN) + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, embedding FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.embedding, c.embedding) AS cos,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                             c.vec_id ASC) AS rank
+           FROM q JOIN c ON q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 20 query vectors (exactness
+    baseline; the LSH scale path is `ann_lsh_topk`). Ranks are compared,
+    not raw cosines — ordering is ulp-robust, float output is not."""
+    emb = tpch.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return SIM.cosine_topk_bruteforce(q, emb, k=5)
+
+
+@register("ann_lsh_topk")  # rows-only: recall asserted in tests
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (multi-table bucket join)."""
+    emb = tpch.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return SIM.cosine_topk_lsh(q, emb, dim=64, k=5).select("query_id", "neighbor_id", "rank")
+
+
+@register("embedding_near_dup")  # rows-only
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (threshold 0.9)."""
+    emb = tpch.load(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup(emb, dim=64, threshold=0.9).select("id_a", "id_b")
+
+
+@register("media_decode_meta")  # rows-only: mapInPandas plumbing
+def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize media refs for documents, decode
+    via mapInPandas (deterministic fake), project typed metadata."""
+    d = tpch.load(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(F.lit("media://"), F.md5(F.col("text"))).alias("media_ref"),
+    )
+    meta = MM.decode_media(media, fake=True)
+    return meta.select("doc_id", "media_ref", "width", "height", "n_frames")
