@@ -785,3 +785,34 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = MM.decode_media(media, fake=True)
     return meta.select("doc_id", "media_ref", "width", "height", "n_frames")
+
+
+# ---------------------------------------------------------------------------
+# Skew family: adaptive cell-resolution splitting (north rule)
+# ---------------------------------------------------------------------------
+
+@register(
+    "adaptive_cell_split",
+    f"""
+    WITH s AS ({tpch.STOPS_SQL}),
+         coarse AS (SELECT stop_key, lat, lon,
+                           {cell_id_sql('lat', 'lon', 3)} AS c3 FROM s),
+         hot AS (SELECT c3 FROM coarse GROUP BY c3 HAVING COUNT(*) > 30)
+    SELECT c.stop_key,
+           CASE WHEN h.c3 IS NOT NULL
+                THEN {cell_id_sql('c.lat', 'c.lon', 6)} ELSE c.c3 END AS cell_id,
+           CASE WHEN h.c3 IS NOT NULL THEN 6 ELSE 3 END AS cell_res
+    FROM coarse c LEFT JOIN hot h ON c.c3 = h.c3
+    """,
+)
+def adaptive_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew splitter: cells holding >30 points re-encode at res 6.
+
+    This is the north-rule 'adaptive cell-resolution splitting' — it
+    bounds per-cell candidate sets for downstream joins regardless of
+    point density (operators/spatial.adaptive_resolution)."""
+    from osm2gtfs_spark.operators.spatial import adaptive_resolution
+
+    s = tpch.stops(spark, sf_dir)
+    out = adaptive_resolution(s, res=3, max_per_cell=30, fine_res=6)
+    return out.select("stop_key", "cell_id", "cell_res")

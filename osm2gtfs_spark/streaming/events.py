@@ -1,0 +1,147 @@
+"""Streaming operators over the events table.
+
+The reference is strictly batch (SURVEY.md §2.8); this module is the
+engine's Structured Streaming surface for the same operator shapes at
+ingest time:
+
+- :func:`windowed_counts` — watermarked tumbling-window aggregation
+  (late data dropped past the watermark); identical results to the
+  batch groupBy on a bounded input, which is exactly what the test
+  asserts via ``Trigger.AvailableNow``.
+- :func:`sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: gap-based user sessions (the streaming
+  analog of the J7-style per-key sequential kernels).
+
+At production scale the source is a stream of doc/tile events; here the
+parquet events table doubles as a file-stream source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events parquet (one file = one batch)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts + cents sum per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "cents")
+    )
+
+
+_SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.IntegerType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionizer: emits a session row whenever a >30 min gap
+    closes one. State = (start_ms, last_ms, n) of the open session."""
+    (user_id,) = key
+    rows = []
+    if state.exists:
+        start_ms, last_ms, n = state.get
+    else:
+        start_ms = last_ms = None
+        n = 0
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value // 10**6) for t in pd.to_datetime(pdf.ts))
+    for t in sorted(ts_list):
+        if start_ms is None:
+            start_ms = last_ms = t
+            n = 1
+        elif t - last_ms > SESSION_GAP_MS:
+            rows.append((user_id, start_ms, last_ms, n))
+            start_ms = last_ms = t
+            n = 1
+        else:
+            last_ms = t
+            n += 1
+    if start_ms is not None:
+        state.update((start_ms, last_ms, n))
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="ms") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="ms") for r in rows],
+                "n_events": [r[3] for r in rows],
+            }
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> None:
+    """Drain the bounded source into a memory sink (test/bench helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append" if "session" in query_name else "complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
