@@ -139,6 +139,56 @@ def adaptive_resolution(points: DataFrame, res: int, max_per_cell: int, fine_res
     )
 
 
+_CLUSTER_SCHEMA = "stop_key string, name string, cluster_id string, is_center boolean"
+
+
+def _cluster_group(pdf):
+    """O2/J10: greedy first-fit 500 m clustering within one name group.
+
+    Reference (gh_accra/stops_creator_gh_accra.py:34-63): walk stops
+    sorted by osm_id; attach to the FIRST existing area whose center is
+    < 500 m crow-fly; else found a new area centered on this stop. The
+    loop is order-dependent by design — groups are small (stops sharing
+    a name), so a per-group kernel is the right distribution boundary."""
+    import math
+
+    import pandas as pd
+
+    pdf = pdf.sort_values("osm_id")
+    centers: list[tuple[str, float, float]] = []
+    out = []
+
+    def crow_fly_m(lat1, lon1, lat2, lon2):
+        dlat, dlon = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = math.sin(dlat / 2) ** 2 + math.cos(math.radians(lat1)) * math.cos(
+            math.radians(lat2)
+        ) * math.sin(dlon / 2) ** 2
+        return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+    for r in pdf.itertuples(index=False):
+        parent = None
+        for cid, clat, clon in centers:
+            if crow_fly_m(clat, clon, r.lat, r.lon) < 500:
+                parent = cid
+                break
+        if parent is None:
+            parent = f"area_{r.stop_key}"
+            centers.append((parent, r.lat, r.lon))
+            out.append((r.stop_key, r.name, parent, True))
+        else:
+            out.append((r.stop_key, r.name, parent, False))
+    return pd.DataFrame(out, columns=["stop_key", "name", "cluster_id", "is_center"])
+
+
+def cluster_stops_greedy(stops: DataFrame) -> DataFrame:
+    """Distance-threshold clustering of same-named stops (J10/O2).
+
+    groupBy(name).applyInPandas with deterministic in-group order —
+    the sequential first-fit semantics cannot be a relational join."""
+    src = stops.select("stop_key", "osm_id", "name", "lat", "lon")
+    return src.groupBy("name").applyInPandas(lambda pdf: _cluster_group(pdf), _CLUSTER_SCHEMA)
+
+
 def point_in_convex_polygon(points: DataFrame, vertices: list[tuple[float, float]], lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
     """Filter points inside a convex polygon via half-plane tests.
 
