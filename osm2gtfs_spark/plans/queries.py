@@ -816,3 +816,91 @@ def adaptive_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = tpch.stops(spark, sf_dir)
     out = adaptive_resolution(s, res=3, max_per_cell=30, fine_res=6)
     return out.select("stop_key", "cell_id", "cell_res")
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference ops: J8 normalized-name join, P12, P14, U3
+# ---------------------------------------------------------------------------
+
+@register(
+    "normalized_name_join",
+    """
+    WITH c AS (SELECT c_custkey,
+                      regexp_replace(regexp_replace(LOWER(c_name),
+                          '^[a-z]+#0*', '', 'g'), '[^0-9]', '', 'g') AS norm
+               FROM customer),
+         s AS (SELECT s_suppkey,
+                      regexp_replace(regexp_replace(LOWER(s_name),
+                          '^[a-z]+#0*', '', 'g'), '[^0-9]', '', 'g') AS norm
+               FROM supplier)
+    SELECT c.c_custkey, s.s_suppkey, c.norm
+    FROM c JOIN s ON c.norm = s.norm
+    """,
+)
+def normalized_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: regex-normalized equi name match (br_florianopolis
+    trips_creator:255-287 — collapse case/punctuation/prefix so two
+    spellings of the same terminal name meet)."""
+
+    def norm(col):
+        return F.regexp_replace(
+            F.regexp_replace(F.lower(col), "^[a-z]+#0*", ""), "[^0-9]", ""
+        ).alias("norm")
+
+    c = tpch.load(spark, sf_dir, "customer").select("c_custkey", norm(F.col("c_name")))
+    s = tpch.load(spark, sf_dir, "supplier").select("s_suppkey", norm(F.col("s_name")))
+    return c.join(s, "norm").select("c_custkey", "s_suppkey", "norm")
+
+
+@register(
+    "blacklist_filter",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def blacklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: hardcoded blacklist exclusion (~isin)."""
+    o = tpch.load(spark, sf_dir, "orders")
+    return o.filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "name_normalization",
+    """
+    SELECT doc_id,
+           TRIM(regexp_replace(regexp_replace(UPPER(text), 'TERMINAL', 'TERM.', 'g'),
+                               ' +', ' ', 'g')) AS norm_name
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def name_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: regexp_replace normalization chain (br trips_creator:289-298)."""
+    d = tpch.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.upper("text"), "TERMINAL", "TERM."), " +", " "
+            )
+        ).alias("norm_name"),
+    )
+
+
+@register(
+    "exception_date_diff",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def exception_date_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/A5: exception-set difference via exceptAll
+    (br trips_creator:124-134 semantics)."""
+    o = tpch.load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.exceptAll(b)
