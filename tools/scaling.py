@@ -25,7 +25,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DOC_MULT = int(os.environ.get("SPARK_SCALING_DOC_MULT", "40"))
+# doc copies collide in LSH buckets by construction (they are true
+# near-dups), so candidate pairs grow as MULT² per original doc — keep
+# MULT modest or the Jaccard stage dominates everything
+DOC_MULT = int(os.environ.get("SPARK_SCALING_DOC_MULT", "8"))
 PT_MULT = int(os.environ.get("SPARK_SCALING_PT_MULT", "20"))
 
 
@@ -38,6 +41,10 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     rows = 0
+    # each sf table is ONE parquet file = one input split; without an
+    # explicit repartition the whole map side runs on a single core and
+    # the scaling measurement is meaningless
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # 1) dedup chain over multiplied docs (CPU: md5 minhash)
     docs = (
@@ -47,6 +54,7 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
             (F.col("doc_id") * DOC_MULT + F.col("rep")).alias("doc_id"),
             F.concat_ws(" ", F.col("text"), F.col("rep").cast("string")).alias("text"),
         )
+        .repartition(n_part)
     )
     t0 = time.time()
     n_docs = docs.count()
@@ -57,10 +65,14 @@ def workload(spark, sf_dir: str) -> dict[str, float]:
 
     # 2) kNN snap over multiplied points (shuffle: cell-ring join)
     def multiply(df, key, mult):
-        return df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))).select(
-            (F.col(key) * mult + F.col("rep")).alias(key),
-            (F.col("lat") + F.col("rep") * 0.0001).alias("lat"),
-            (F.col("lon") + F.col("rep") * 0.0001).alias("lon"),
+        return (
+            df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select(
+                (F.col(key) * mult + F.col("rep")).alias(key),
+                (F.col("lat") + F.col("rep") * 0.0001).alias("lat"),
+                (F.col("lon") + F.col("rep") * 0.0001).alias("lon"),
+            )
+            .repartition(n_part)
         )
 
     stops = multiply(tpch.stops(spark, sf_dir), "stop_key", PT_MULT)
