@@ -36,7 +36,7 @@ HEADLINE = [
     "quality_score",
 ]
 
-BENCH_CITY = D.CitySpec(n_lines=40, variants_per_line=2, stops_per_variant=12)
+BENCH_CITY = D.CitySpec(n_lines=150, variants_per_line=2, stops_per_variant=12)
 
 
 def main() -> None:
@@ -54,7 +54,11 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
-    # transit pipeline throughput (the BASELINE.json metric numerator)
+    # transit pipeline throughput (the BASELINE.json metric numerator:
+    # GTFS rows + tile assignments per second)
+    from osm2gtfs_spark.operators.spatial import tile_coverage
+    from osm2gtfs_spark.sources.docs import decode_nodes
+
     docs = D.docs_df(spark, BENCH_CITY, n_partitions=32).cache()
     docs.count()
     t0 = time.time()
@@ -67,6 +71,8 @@ def main() -> None:
         + tables.shapes.count()
         + tables.frequencies.count()
     )
+    tile_rows = tile_coverage(decode_nodes(docs), res=12).count()
+    gtfs_rows += tile_rows
     pipeline_sec = round(time.time() - t0, 3)
     timings["gtfs_pipeline"] = pipeline_sec
 

@@ -66,6 +66,42 @@ def minhash_signature_sql(sh_expr: str, k: int = 8) -> list[str]:
     ]
 
 
+_MIX_A = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5,
+          0x85EBCA6B2B2AE35, 0xCC9E2D51B873593, 0x1B873593CC9E2D5, 0xE6546B64985E235]
+
+
+def minhash_signature_fast(sh: Column, k: int = 8) -> Column:
+    """Scale-path minhash: ONE xxhash64 per shingle + k multiplicative
+    mixes (array<long> of k minhashes).
+
+    ~8× less hashing and no hex-string allocation vs the MD5 chain —
+    the md5 variant exists for bit-identical SQL oracles (sf0.01
+    correctness gate); this one is the 100 TB path. Near-dup agreement
+    between the two families is asserted in tests."""
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def _mixed_min(i: int) -> Column:
+        # odd 63-bit multiplier; single-arg lambda (arity-2 would make
+        # PySpark pass the array index as the second argument)
+        a = F.lit((_MIX_A[i % len(_MIX_A)] | 1) & 0x7FFFFFFFFFFFFFFF)
+        return F.array_min(F.transform(base, lambda h: F.xxhash64(h * a)))
+
+    return F.array(*[_mixed_min(i) for i in range(k)])
+
+
+def minhash_bands_fast(doc_id: str, text_col: str, docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFrame:
+    """Fast-path LSH bucketing: (doc_id, band_idx, band_hash long)."""
+    sig = docs.select(F.col(doc_id), minhash_signature_fast(shingles(F.col(text_col)), k).alias("sig"))
+    n_bands = k // band_size
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col("sig")[b * band_size + j] for j in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(doc_id, F.posexplode(bands).alias("band_idx", "band_hash"))
+
+
 def minhash_bands(doc_id: str, text_col: str, docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFrame:
     """docs → (doc_id, band_idx, band_hash): the LSH bucketing table."""
     sig = docs.select(F.col(doc_id), *minhash_signature(shingles(F.col(text_col)), k))
