@@ -71,22 +71,24 @@ _MIX_A = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F
 
 
 def minhash_signature_fast(sh: Column, k: int = 8) -> Column:
-    """Scale-path minhash: ONE xxhash64 per shingle + k multiplicative
-    mixes (array<long> of k minhashes).
+    """Scale-path minhash: ONE pass over the shingle array producing all
+    k minhashes (array<long>).
 
-    ~8× less hashing and no hex-string allocation vs the MD5 chain —
-    the md5 variant exists for bit-identical SQL oracles (sf0.01
-    correctness gate); this one is the 100 TB path. Near-dup agreement
-    between the two families is asserted in tests."""
-    base = F.transform(sh, lambda s: F.xxhash64(s))
+    A single ``F.aggregate`` folds the shingles into a k-wide min
+    accumulator; each shingle is built and hashed exactly once per salt
+    (xxhash64(s, salt)). The naive formulation — k separate
+    array_min(transform(...)) columns — re-evaluates the whole shingle
+    transform k times because higher-order expressions get no common
+    subexpression elimination; this version is the 100 TB path. The MD5
+    variant exists for bit-identical SQL oracles (sf0.01 gate); near-dup
+    agreement between the families is asserted in tests."""
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long") for _ in range(k)])
 
-    def _mixed_min(i: int) -> Column:
-        # odd 63-bit multiplier; single-arg lambda (arity-2 would make
-        # PySpark pass the array index as the second argument)
-        a = F.lit((_MIX_A[i % len(_MIX_A)] | 1) & 0x7FFFFFFFFFFFFFFF)
-        return F.array_min(F.transform(base, lambda h: F.xxhash64(h * a)))
+    def merge(acc: Column, s: Column) -> Column:
+        hashes = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(k)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
 
-    return F.array(*[_mixed_min(i) for i in range(k)])
+    return F.aggregate(sh, init, merge)
 
 
 def minhash_bands_fast(doc_id: str, text_col: str, docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFrame:
