@@ -124,17 +124,25 @@ def build_stations(relations: DataFrame, stops: DataFrame) -> tuple[DataFrame, D
     (osm_connector.py:519-530). Station location = spherical centroid of
     members. Returns (stations, parent_map(stop_key → parent_station)).
     """
+    # reference rule (_build_station, osm_connector.py:466-530): the
+    # relation must carry public_transport=stop_area, must NOT carry a
+    # 'route' tag, and only members with role == 'platform' that resolve
+    # against known stops count; ≥2 DISTINCT resolved members required
     areas = relations.filter(
-        (tag("type") == "public_transport") & (tag("public_transport") == "stop_area")
+        (tag("public_transport") == "stop_area") & tag("route").isNull()
     )
-    memb = areas.select(
-        F.col("id").alias("area_id"),
-        tag("name").alias("area_name"),
-        F.explode("members").alias("m"),
-    ).select(
-        "area_id",
-        "area_name",
-        F.concat("m.mtype", F.lit("/"), F.col("m.ref").cast("string")).alias("stop_key"),
+    memb = (
+        areas.select(
+            F.col("id").alias("area_id"),
+            tag("name").alias("area_name"),
+            F.explode(F.filter("members", lambda m: m.role == F.lit("platform"))).alias("m"),
+        )
+        .select(
+            "area_id",
+            "area_name",
+            F.concat("m.mtype", F.lit("/"), F.col("m.ref").cast("string")).alias("stop_key"),
+        )
+        .dropDuplicates(["area_id", "stop_key"])
     )
     resolved = memb.join(stops.select("stop_key", "lat", "lon"), "stop_key")
     cents = spherical_centroid_aggs("lat", "lon")

@@ -50,6 +50,32 @@ def parse_overpass_xml(path: str) -> list[dict]:
     return docs
 
 
+def timetable_docs_df(spark: SparkSession, path: str, n_partitions: int = 8) -> DataFrame:
+    """Reference timetable.json → schedule docs (one doc per schedule
+    row, FIXTURES.md §3 shape). Consumption mirrors
+    ``trips_creator.py:334-376``."""
+    import json
+
+    with open(path) as f:
+        tt = json.load(f)
+    rows = []
+    for ref, trips in tt["lines"].items():
+        for i, trip in enumerate(trips):
+            payload = {
+                "route_ref": ref,
+                "from": trip.get("from"),
+                "to": trip.get("to"),
+                "via": trip.get("via"),
+                "services": trip.get("services", []),
+                "stations": trip.get("stations", []),
+                "times": trip.get("times", []),
+            }
+            doc_id = f"schedule/{ref}/{i}"
+            spans = _interleave(doc_id, [("schedule", json.dumps(payload, sort_keys=True))], 2)
+            rows.append((doc_id, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]))
+    return spark.createDataFrame(rows, DOCS_SCHEMA).repartition(n_partitions, "doc_id")
+
+
 def xml_docs_df(spark: SparkSession, paths: list[str], n_partitions: int = 32) -> DataFrame:
     """One or more Overpass XML files → docs DataFrame (deduplicated:
     the same entity may appear in several query results, reference

@@ -1,0 +1,61 @@
+"""Managua parity: reference fixture XML + timetable through the engine.
+
+The Managua golden zip is absent upstream (.MISSING_LARGE_BLOBS), so
+this asserts the reference's count contract (tests_ni_managua.py:15-27:
+45 routes, 1450 stop points, 547 stations) plus schedule-join behavior
+on the real timetable.json.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2gtfs_spark.plans import gtfs
+from osm2gtfs_spark.sources import docs as D
+from osm2gtfs_spark.sources.osm_xml import timetable_docs_df, xml_docs_df
+
+FX = "/root/reference/osm2gtfs/tests/creators/fixtures/ni_managua"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{FX}/overpass-stops.xml"), reason="fixtures unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def entities(spark):
+    stops_docs = xml_docs_df(spark, [f"{FX}/overpass-stops.xml"])
+    routes_docs = xml_docs_df(spark, [f"{FX}/overpass-routes.xml"])
+    nodes = D.decode_nodes(stops_docs).cache()
+    ways = D.decode_ways(stops_docs)
+    rels_s = D.decode_relations(stops_docs).cache()
+    rels_r = D.decode_relations(routes_docs).cache()
+    return nodes, ways, rels_s, rels_r
+
+
+def test_managua_counts(entities):
+    nodes, ways, rels_s, rels_r = entities
+    stops = gtfs.build_stops(nodes, ways).cache()
+    assert stops.count() == 1450  # tests_ni_managua stops_count
+    stations, parent_map = gtfs.build_stations(rels_s, stops)
+    assert stations.count() == 547  # stations_count
+    lines, itins = gtfs.build_lines(rels_r)
+    assert lines.count() == 45  # routes_count
+    assert itins.count() == 90
+
+
+def test_managua_schedule_join(spark, entities):
+    """J5 on the real timetable: route 111's itineraries match."""
+    from osm2gtfs_spark.plans import schedule_path as SP
+
+    _, _, _, rels_r = entities
+    sched = D.decode_schedule(timetable_docs_df(spark, f"{FX}/timetable.json"))
+    assert sched.filter(F.col("route_ref") == "111").count() >= 1
+    lines, itins = gtfs.build_lines(rels_r)
+    matched = SP.match_schedule(itins, sched)
+    m = matched.select("route_id").distinct()
+    n_matched = m.count()
+    assert n_matched >= 20, f"expected most refs to match timetable, got {n_matched}"
+    assert m.filter(F.col("route_id") == "111").count() == 1
