@@ -126,11 +126,17 @@ def cell_ring(cell, res: int, k: int = 1) -> Column:
     return F.array_distinct(F.filter(ring, lambda x: x.isNotNull()))
 
 
-def haversine_m(lat1, lon1, lat2, lon2) -> Column:
+# transitfeed's ApproximateDistance radius — its time interpolation and
+# the golden feeds depend on this exact constant
+TRANSITFEED_RADIUS_M = 6367000.0
+
+
+def haversine_m(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M) -> Column:
     """Great-circle distance in meters.
 
     Same formula as the reference's ``get_crow_fly_distance``
     (``osm2gtfs/core/helper.py:70-93``) but as one codegen'd expression.
+    Pass ``radius=TRANSITFEED_RADIUS_M`` for transitfeed parity.
     """
     lat1, lon1, lat2, lon2 = (_as_col(c) for c in (lat1, lon1, lat2, lon2))
     dlat = F.radians(lat2 - lat1)
@@ -139,7 +145,7 @@ def haversine_m(lat1, lon1, lat2, lon2) -> Column:
         F.sin(dlat / 2) * F.sin(dlat / 2)
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
     )
-    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    return F.lit(2.0 * radius) * F.asin(F.sqrt(a))
 
 
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:

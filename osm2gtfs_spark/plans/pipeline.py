@@ -231,9 +231,13 @@ def run_schedule_pipeline(
     if persist:
         per_service = per_service.cache()
     aligned = SP.align_stops(itin_stops_named, per_service)
-    filled = SP.interpolate_times(aligned)
+    filled = SP.interpolate_times_distance(aligned, stops.select("stop_key", "lat", "lon"))
 
-    trip_order = Window.orderBy("route_id", "itinerary_osm_id", "service", "trip_seq")
+    # O5: reference insertion order = lines sorted by ref, itineraries in
+    # member order, services in first-occurrence order, then time rows
+    trip_order = Window.orderBy(
+        "route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"
+    )
     trips_full = (
         per_service.select(
             "itinerary_osm_id",
@@ -241,6 +245,8 @@ def run_schedule_pipeline(
             "route_id",
             "to",
             "itinerary_id",
+            "seq",
+            "svc_order",
             F.posexplode("times").alias("trip_seq", "_times"),
         )
         .withColumn("trip_id", F.row_number().over(trip_order).cast("string"))

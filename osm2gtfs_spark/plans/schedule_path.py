@@ -59,6 +59,7 @@ def match_schedule(itineraries: DataFrame, schedule_trips: DataFrame) -> DataFra
         "services",
         "stations",
         "times",
+        "row_idx",
     )
     j = itineraries.join(
         F.broadcast(sched),
@@ -79,27 +80,38 @@ def match_schedule(itineraries: DataFrame, schedule_trips: DataFrame) -> DataFra
         F.posexplode("services").alias("svc_pos", "service"),
         "stations",
         "times",
+        "row_idx",
+        "seq",
     )
 
 
 def itinerary_service_schedule(matched: DataFrame) -> DataFrame:
-    """Collapse to one row per (itinerary, service):
+    """Collapse to one row per (itinerary, service) with the reference's
+    exact ordering semantics (trips_creator.py:82-94, 334-376):
 
-    - times: concat over all matching rows (reference appends all)
-    - stations: first matching row's stations (reference breaks)
-    Deterministic 'first' = order of schedule rows by (fr, to, via) is
-    already fixed upstream; we use the min svc_pos row."""
-    w = Window.partitionBy("itinerary_osm_id", "service").orderBy("svc_pos")
+    - times: concatenation over ALL matching rows containing the
+      service, in timetable-row order (row_idx);
+    - stations: the FIRST matching row's stations (reference breaks);
+    - svc_order: the service's first-occurrence position in the
+      order-preserving union walk (row order, then position within the
+      row's services array) — trip_id assignment iterates services in
+      exactly this order (O5)."""
     return (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .groupBy("itinerary_osm_id", "service")
+        matched.groupBy("itinerary_osm_id", "service")
         .agg(
             F.first("line_osm_id").alias("line_osm_id"),
             F.first("route_id").alias("route_id"),
             F.first("to").alias("to"),
             F.first("itinerary_id").alias("itinerary_id"),
-            F.flatten(F.collect_list("times")).alias("times"),
-            F.min_by("stations", "_rn").alias("stations"),
+            F.first("seq").alias("seq"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("row_idx", "times"))),
+                    lambda x: x.times,
+                )
+            ).alias("times"),
+            F.min_by("stations", "row_idx").alias("stations"),
+            F.min(F.col("row_idx") * 100000 + F.col("svc_pos")).alias("svc_order"),
         )
     )
 
@@ -209,12 +221,62 @@ def align_stops(
     )
 
 
-def interpolate_times(aligned: DataFrame) -> DataFrame:
-    """W6: fill untimed stops by equal-count linear interpolation.
+def interpolate_times_distance(aligned: DataFrame, stop_coords: DataFrame) -> DataFrame:
+    """W6, transitfeed-exact: fill untimed stops by DISTANCE-weighted
+    linear interpolation between surrounding timepoints.
 
-    last(time, ignorenulls) back / first(time, ignorenulls) forward over
-    the (trip, pos) order, then position-weighted blend — pure window
-    expressions, no UDF (helper.py:56-68 + transitfeed semantics)."""
+    transitfeed's ``GetTimeInterpolatedStops`` splits the time between
+    two timepoints proportionally to the cumulative great-circle
+    distance (radius 6367000 m) along the trip's stops — verified
+    bit-exact against the reference's golden feeds. Pure window
+    expressions, no UDF. ``stop_coords``: (stop_key, lat, lon)."""
+    from osm2gtfs_spark.functions.geo import TRANSITFEED_RADIUS_M, haversine_m
+
+    key = ["itinerary_osm_id", "service", "trip_seq"]
+    w_seq = Window.partitionBy(*key).orderBy("pos")
+    w_back = Window.partitionBy(*key).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.partitionBy(*key).orderBy("pos").rowsBetween(0, Window.unboundedFollowing)
+    df = (
+        aligned.join(F.broadcast(stop_coords), "stop_key")
+        .withColumn("_plat", F.lag("lat").over(w_seq))
+        .withColumn("_plon", F.lag("lon").over(w_seq))
+        .withColumn(
+            "_leg",
+            F.when(F.col("_plat").isNull(), F.lit(0.0)).otherwise(
+                haversine_m("_plat", "_plon", "lat", "lon", radius=TRANSITFEED_RADIUS_M)
+            ),
+        )
+        .withColumn("_cum", F.sum("_leg").over(w_back))
+    )
+    timed_cum = F.when(F.col("time_secs").isNotNull(), F.col("_cum"))
+    df = (
+        df.withColumn("prev_t", F.last("time_secs", ignorenulls=True).over(w_back))
+        .withColumn("prev_c", F.last(timed_cum, ignorenulls=True).over(w_back))
+        .withColumn("next_t", F.first("time_secs", ignorenulls=True).over(w_fwd))
+        .withColumn("next_c", F.first(timed_cum, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.round(
+        F.col("prev_t")
+        + (F.col("next_t") - F.col("prev_t"))
+        * (F.col("_cum") - F.col("prev_c"))
+        / (F.col("next_c") - F.col("prev_c")),
+        0,
+    ).cast("long")
+    return df.withColumn(
+        "time_secs_filled",
+        F.when(F.col("time_secs").isNotNull(), F.col("time_secs"))
+        .when(F.col("prev_t").isNull() | F.col("next_t").isNull(), F.lit(None))
+        .when(F.col("next_c") == F.col("prev_c"), F.col("prev_t"))
+        .otherwise(interp),
+    ).drop("prev_t", "prev_c", "next_t", "next_c", "_plat", "_plon", "_leg", "_cum", "lat", "lon")
+
+
+def interpolate_times(aligned: DataFrame) -> DataFrame:
+    """W6 variant: fill untimed stops by equal-COUNT interpolation.
+
+    Kept as a generic operator (and the `gap_fill_interpolation`
+    contract query shape); the GTFS pipelines use the transitfeed-exact
+    distance-weighted variant above."""
     key = ["itinerary_osm_id", "service", "trip_seq"]
     w_back = Window.partitionBy(*key).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     w_fwd = Window.partitionBy(*key).orderBy("pos").rowsBetween(0, Window.unboundedFollowing)

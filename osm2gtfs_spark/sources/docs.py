@@ -379,8 +379,14 @@ def decode_schedule(docs: DataFrame) -> DataFrame:
     payload = F.get(_spans_of("schedule"), 0)["text"]
     return (
         docs.filter(_osm_type() == "schedule")
-        .select(F.from_json(payload, SCHEDULE_JSON_SCHEMA).alias("j"))
-        .select("j.*")
+        .select(
+            F.from_json(payload, SCHEDULE_JSON_SCHEMA).alias("j"),
+            # doc_id "schedule/<ref>/<i>": i is the row's position in the
+            # timetable JSON array — consumption order matters for the
+            # reference's service-union and time-concat semantics
+            F.substring_index("doc_id", "/", -1).cast("int").alias("row_idx"),
+        )
+        .select("j.*", "row_idx")
     )
 
 
