@@ -904,3 +904,66 @@ def exception_date_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
     b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
     return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Skew family (north rule): salted two-phase agg, replicated salted join
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_agg",
+    """
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_x100,
+           COUNT(*) AS row_cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally hot) key.
+
+    North-rule skew handling for hot GROUP keys: the partial phase caps
+    what any one reducer sees for a hot key at ~1/S of its rows. The
+    salting is an implementation detail — results are oracle-identical
+    to a plain GROUP BY. Reference analog: per-route counting over a
+    handful of route ids (``trips_creator.py:63-72``)."""
+    from osm2gtfs_spark.operators.skew import salted_agg
+
+    li = tpch.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qty_x100"),
+    )
+    out = salted_agg(li, "l_returnflag", {"qty_x100": "sum", "l_returnflag": "count"})
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_x100"),
+        F.col("count_l_returnflag").alias("row_cnt"),
+    )
+
+
+@register(
+    "replicated_salted_join",
+    """
+    SELECT n.n_name, COUNT(*) AS customer_cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def replicated_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim equi join: fact rows salted, dim replicated S×.
+
+    For hot probe keys a broadcast join already avoids the skewed
+    shuffle; this is the fallback when the dim is too big to broadcast
+    but small enough to replicate S×. Join output is oracle-identical
+    to the plain join."""
+    from osm2gtfs_spark.operators.skew import replicated_salted_join
+
+    c = tpch.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    n = tpch.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    joined = replicated_salted_join(c, n, "nationkey", n_salts=8)
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("customer_cnt"))

@@ -1,0 +1,92 @@
+"""Skew tools: salted repartition / two-phase agg / replicated join.
+
+Semantics checks (results must equal the unsalted plan) plus the
+physical property that matters at scale: a hot key's rows really are
+spread across multiple partitions after salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm2gtfs_spark.operators.skew import (
+    replicated_salted_join,
+    salted_agg,
+    salted_repartition,
+)
+
+
+def _skewed_df(spark, n=10_000, hot_frac=0.9):
+    """One key ('hot') owns 90% of rows — the adversarial group-by case."""
+    return (
+        spark.range(n)
+        .withColumn(
+            "key",
+            F.when(F.col("id") < int(n * hot_frac), F.lit("hot")).otherwise(
+                F.concat(F.lit("cold_"), (F.col("id") % 7).cast("string"))
+            ),
+        )
+        .withColumn("v", (F.col("id") % 100).cast("long"))
+    )
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = _skewed_df(spark)
+    plain = {
+        r["key"]: (r["sum_v"], r["count_key"])
+        for r in df.groupBy("key")
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("count_key"))
+        .collect()
+    }
+    salted = {
+        r["key"]: (r["sum_v"], r["count_key"])
+        for r in salted_agg(df, "key", {"v": "sum", "key": "count"}, n_salts=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_min_max(spark):
+    df = _skewed_df(spark)
+    out = {r["key"]: (r["min_v"], r["max_v"]) for r in
+           salted_agg(df, "key", {"v": "min"}, n_salts=4)
+           .join(salted_agg(df, "key", {"v": "max"}, n_salts=4), "key")
+           .collect()}
+    plain = {r["key"]: (r["mn"], r["mx"]) for r in
+             df.groupBy("key").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+             .collect()}
+    assert out == plain
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    df = salted_repartition(_skewed_df(spark), "key", n_salts=8, num_partitions=8)
+    parts = (
+        df.filter(F.col("key") == "hot")
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert parts >= 4  # hot key no longer lives in one partition
+
+
+def test_replicated_salted_join_matches_plain_join(spark):
+    left = _skewed_df(spark, n=5_000)
+    right = spark.createDataFrame(
+        [("hot", 1), ("cold_0", 2), ("cold_3", 3), ("absent", 9)], ["key", "dim"]
+    )
+    got = (
+        replicated_salted_join(left, right, "key", n_salts=4)
+        .groupBy("key", "dim")
+        .count()
+        .collect()
+    )
+    want = left.join(right, "key").groupBy("key", "dim").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_skew_contract_queries_registered():
+    from osm2gtfs_spark.plans import queries as q
+
+    qs, oracles = q.queries(), q.oracle_sql()
+    for name in ("salted_agg", "replicated_salted_join"):
+        assert name in qs and name in oracles
