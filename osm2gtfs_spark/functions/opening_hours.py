@@ -1,0 +1,257 @@
+"""OSM opening_hours / interval tags → GTFS frequency windows (Abidjan path).
+
+Re-implements, from observed golden behavior, what the reference gets
+from the `transporthours` library (`tagsToGtfs`, called at
+`osm2gtfs/creators/ci_abidjan/trips_creator_ci_abidjan.py:82-83,132,137`)
+plus the service-id derivation at `:32-53`:
+
+- ``opening_hours`` ("Mo-Fr 05:00-22:00; Sa 06:00-14:00", "24/7",
+  day lists, "PH" ignored) → per-day open spans;
+- ``interval`` ("HH:MM[:SS]" or a plain number of minutes) → base
+  headway in seconds;
+- ``interval:conditional`` ("00:09 @ (Mo-Fr 07:00-09:00); …") →
+  conditional headways that SPLIT the open span: the golden
+  ``ci_abidjan_gtfs.zip.ref`` frequencies show e.g. 05:00-07:00 @ base,
+  07:00-09:00 @ peak, 09:00-17:00 @ …, so each day's open span is
+  partitioned at conditional boundaries, remainder keeping the base;
+- windows identical across days are merged into one row with 7 day
+  flags; ``service_id`` is "Mo-Su" / "Mo-Fr" / "Mo-Sa" / "Sa-Su" for
+  the canonical sets, else a comma list, empty → all week.
+
+Spark surface: :func:`oh_windows` — a vectorized pandas UDF over Arrow
+batches (the parser is pure string work per distinct tag combination;
+the hot path dedups combinations first, so the kernel runs once per
+distinct schedule, not per row).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DAY_ABBR = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su"]
+_DAY_IX = {d: i for i, d in enumerate(DAY_ABBR)}
+ALL_DAYS = frozenset(range(7))
+
+DEFAULT_OPENING_HOURS = "Mo-Su,PH 05:00-22:00"  # ci_abidjan _DEFAULT_SCHEDULE
+DEFAULT_INTERVAL = "01:00"
+
+_TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2}))?$")
+_SPAN_RE = re.compile(r"(\d{1,2}:\d{2})\s*-\s*(\d{1,2}:\d{2})")
+
+
+def parse_interval_secs(s: str | None) -> int | None:
+    """'HH:MM[:SS]' or plain minutes → seconds; None/garbage → None."""
+    if not s:
+        return None
+    s = s.strip()
+    m = _TIME_RE.match(s)
+    if m:
+        h, mi, sec = int(m.group(1)), int(m.group(2)), int(m.group(3) or 0)
+        return h * 3600 + mi * 60 + sec
+    try:
+        return int(float(s) * 60)
+    except ValueError:
+        return None
+
+
+def _time_to_min(t: str) -> int:
+    h, m = t.split(":")
+    return int(h) * 60 + int(m)
+
+
+def _parse_days(spec: str) -> frozenset[int]:
+    """'Mo-Fr,Su' / 'Sa,Su' / 'PH' (ignored) → day-index set; '' → all."""
+    days: set[int] = set()
+    saw_token = False
+    for token in spec.split(","):
+        token = token.strip()
+        if not token or token == "PH":
+            continue
+        saw_token = True
+        if "-" in token:
+            a, b = (t.strip() for t in token.split("-", 1))
+            if a in _DAY_IX and b in _DAY_IX:
+                i, j = _DAY_IX[a], _DAY_IX[b]
+                if i <= j:
+                    days.update(range(i, j + 1))
+                else:  # wrap, e.g. Sa-Tu
+                    days.update(range(i, 7))
+                    days.update(range(0, j + 1))
+        elif token in _DAY_IX:
+            days.add(_DAY_IX[token])
+    if not days and not saw_token:
+        return ALL_DAYS
+    return frozenset(days) if days else ALL_DAYS
+
+
+def parse_opening_hours(s: str | None) -> list[tuple[frozenset[int], int, int]]:
+    """opening_hours → [(days, start_min, end_min)]; unparseable → []."""
+    if not s:
+        return []
+    s = s.strip()
+    if s == "24/7":
+        return [(ALL_DAYS, 0, 24 * 60)]
+    out: list[tuple[frozenset[int], int, int]] = []
+    for rule in s.split(";"):
+        rule = rule.strip()
+        if not rule or rule in ("off", "closed"):
+            continue
+        first_span = _SPAN_RE.search(rule)
+        if not first_span:
+            continue
+        day_part = rule[: first_span.start()].strip()
+        days = _parse_days(day_part)
+        for a, b in _SPAN_RE.findall(rule):
+            start, end = _time_to_min(a), _time_to_min(b)
+            if end > start:
+                out.append((days, start, end))
+    return out
+
+
+def parse_conditional(s: str | None) -> list[tuple[int, frozenset[int], int, int]]:
+    """interval:conditional → [(headway_secs, days, start_min, end_min)]."""
+    if not s:
+        return []
+    out: list[tuple[int, frozenset[int], int, int]] = []
+    for part in s.split(";"):
+        part = part.strip()
+        if "@" not in part:
+            continue
+        ival, cond = part.split("@", 1)
+        headway = parse_interval_secs(ival.strip())
+        if headway is None:
+            continue
+        cond = cond.strip().strip("()").strip()
+        for days, start, end in parse_opening_hours(cond):
+            out.append((headway, days, start, end))
+    return out
+
+
+def service_id_for(days: frozenset[int]) -> str:
+    """ci_abidjan _service_id_from_transport_hour:32-53 semantics."""
+    d = days if days else ALL_DAYS
+    if d == ALL_DAYS:
+        return "Mo-Su"
+    if d == frozenset(range(5)):
+        return "Mo-Fr"
+    if d == frozenset(range(6)):
+        return "Mo-Sa"
+    if d == frozenset({5, 6}):
+        return "Sa-Su"
+    return ",".join(DAY_ABBR[i] for i in sorted(d))
+
+
+def tags_to_windows(
+    opening_hours: str | None,
+    interval: str | None,
+    conditional: str | None = None,
+) -> list[dict]:
+    """One schedule-tag combination → GTFS frequency windows.
+
+    Returns [] when either opening_hours or interval is missing /
+    unparseable (the caller then falls back to line-level tags, then to
+    the city default — trips_creator_ci_abidjan.py:139-148)."""
+    base = parse_interval_secs(interval)
+    spans = parse_opening_hours(opening_hours)
+    if base is None or not spans:
+        return []
+    conds = parse_conditional(conditional)
+
+    # per-day partition of each open span at conditional boundaries
+    per_day: dict[int, list[tuple[int, int, int]]] = {}
+    for days, start, end in spans:
+        for d in days:
+            cuts = sorted(
+                (max(start, cs), min(end, ce), hw)
+                for hw, cdays, cs, ce in conds
+                if d in cdays and cs < end and ce > start
+            )
+            cursor = start
+            windows = per_day.setdefault(d, [])
+            for cs, ce, hw in cuts:
+                if ce <= cursor:  # cut swallowed by an earlier overlap
+                    continue
+                if cs > cursor:
+                    windows.append((cursor, cs, base))
+                windows.append((max(cursor, cs), ce, hw))
+                cursor = ce
+            if cursor < end:
+                windows.append((cursor, end, base))
+
+    # merge identical windows across days into day-flagged rows
+    grouped: dict[tuple[int, int, int], set[int]] = {}
+    for d, windows in per_day.items():
+        for w in windows:
+            grouped.setdefault(w, set()).add(d)
+    out = []
+    for (start, end, headway), days in sorted(grouped.items()):
+        fdays = frozenset(days)
+        out.append(
+            {
+                "start_secs": start * 60,
+                "end_secs": end * 60,
+                "headway_secs": headway,
+                "service_id": service_id_for(fdays),
+                "day_flags": [d in fdays for d in range(7)],
+            }
+        )
+    return out
+
+
+WINDOW_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start_secs", IntegerType()),
+            StructField("end_secs", IntegerType()),
+            StructField("headway_secs", IntegerType()),
+            StructField("service_id", StringType()),
+            StructField("day_flags", ArrayType(BooleanType())),
+        ]
+    )
+)
+
+
+@pandas_udf(WINDOW_TYPE)
+def _oh_windows_udf(
+    opening: pd.Series, interval: pd.Series, conditional: pd.Series
+) -> pd.Series:
+    # memoize per distinct tag combination — batches are dominated by
+    # a handful of distinct schedules, so the parser runs O(distinct)
+    cache: dict[tuple, list] = {}
+
+    def one(o, i, c):
+        key = (o, i, c)
+        if key not in cache:
+            cache[key] = [
+                (
+                    w["start_secs"],
+                    w["end_secs"],
+                    w["headway_secs"],
+                    w["service_id"],
+                    w["day_flags"],
+                )
+                for w in tags_to_windows(o, i, c)
+            ]
+        return cache[key]
+
+    return pd.Series(
+        [one(o, i, c) for o, i, c in zip(opening, interval, conditional)]
+    )
+
+
+def oh_windows(opening: Column, interval: Column, conditional: Column) -> Column:
+    """Vectorized opening_hours+interval[+conditional] → array of windows."""
+    return _oh_windows_udf(opening, interval, conditional)

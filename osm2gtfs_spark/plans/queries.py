@@ -967,3 +967,62 @@ def replicated_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = replicated_salted_join(c, n, "nationkey", n_salts=8)
     return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("customer_cnt"))
+
+
+@register(
+    "opening_hours_windows",
+    """
+    WITH pat AS (
+      SELECT * FROM (VALUES
+        (0, 18000, 79200, 3600, 'Mo-Su'),
+        (1, 18000, 25200, 1800, 'Mo-Fr'),
+        (1, 25200, 32400,  600, 'Mo-Fr'),
+        (1, 32400, 72000, 1800, 'Mo-Fr'),
+        (2,     0, 86400,  900, 'Mo-Su'),
+        (3, 18000, 72000, 3600, 'Mo-Fr'),
+        (3, 28800, 50400, 3600, 'Sa-Su')
+      ) AS t(p, start_secs, end_secs, headway_secs, service_id)
+    )
+    SELECT d.doc_id, p.start_secs, p.end_secs, p.headway_secs, p.service_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+    JOIN pat p ON p.p = d.doc_id % 4
+    """,
+)
+def opening_hours_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM opening_hours/interval[:conditional] → GTFS frequency windows
+    (Abidjan path, trips_creator_ci_abidjan.py:82-83,132-148).
+
+    The Spark side genuinely parses the tag strings (vectorized pandas
+    UDF, memoized per distinct schedule); the oracle pins the expected
+    expansion of each of the four test patterns, including the
+    conditional-interval window split observed in the reference's
+    golden ci_abidjan frequencies."""
+    from osm2gtfs_spark.functions.opening_hours import oh_windows
+
+    d = (
+        tpch.load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", (F.col("doc_id") % 4).alias("p"))
+    )
+    oh = (
+        F.when(F.col("p") == 0, F.lit("Mo-Su,PH 05:00-22:00"))
+        .when(F.col("p") == 1, F.lit("Mo-Fr 05:00-20:00"))
+        .when(F.col("p") == 2, F.lit("24/7"))
+        .otherwise(F.lit("Mo-Fr 05:00-20:00; Sa,Su 08:00-14:00"))
+    )
+    ival = F.when(F.col("p") == 2, F.lit("15")).when(
+        F.col("p") == 1, F.lit("00:30")
+    ).otherwise(F.lit("01:00"))
+    cond = F.when(F.col("p") == 1, F.lit("00:10 @ (Mo-Fr 07:00-09:00)")).otherwise(
+        F.lit(None).cast("string")
+    )
+    return (
+        d.withColumn("w", F.explode(oh_windows(oh, ival, cond)))
+        .select(
+            "doc_id",
+            F.col("w.start_secs").alias("start_secs"),
+            F.col("w.end_secs").alias("end_secs"),
+            F.col("w.headway_secs").alias("headway_secs"),
+            F.col("w.service_id").alias("service_id"),
+        )
+    )

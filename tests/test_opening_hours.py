@@ -1,0 +1,204 @@
+"""opening_hours → frequency windows (Abidjan path, SURVEY §2.7/§3.3).
+
+Parser expectations reverse-engineered from the reference's golden
+``ci_abidjan_gtfs.zip.ref`` (single "Mo-Su" calendar row; frequency
+rows like 05:00-07:00 / 07:00-09:00 / 09:00-17:00 splits with distinct
+headways) plus the documented OSM interval/opening_hours tag grammar.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2gtfs_spark.functions.opening_hours import (
+    parse_interval_secs,
+    parse_opening_hours,
+    service_id_for,
+    tags_to_windows,
+)
+
+
+def test_parse_interval_formats():
+    assert parse_interval_secs("01:00") == 3600
+    assert parse_interval_secs("00:15") == 900
+    assert parse_interval_secs("00:05:30") == 330
+    assert parse_interval_secs("15") == 900  # plain minutes
+    assert parse_interval_secs("") is None
+    assert parse_interval_secs("soon") is None
+
+
+def test_parse_opening_hours_day_sets():
+    [(days, start, end)] = parse_opening_hours("Mo-Fr 05:00-22:00")
+    assert days == frozenset(range(5)) and (start, end) == (300, 1320)
+    [(days, _, _)] = parse_opening_hours("Mo-Su,PH 05:00-22:00")  # PH ignored
+    assert days == frozenset(range(7))
+    [(days, s, e)] = parse_opening_hours("24/7")
+    assert days == frozenset(range(7)) and (s, e) == (0, 1440)
+    [(d1, *_), (d2, *_)] = parse_opening_hours("Mo-Fr 05:00-20:00; Sa,Su 08:00-14:00")
+    assert d1 == frozenset(range(5)) and d2 == frozenset({5, 6})
+
+
+def test_service_id_canonical_sets():
+    assert service_id_for(frozenset(range(7))) == "Mo-Su"
+    assert service_id_for(frozenset(range(5))) == "Mo-Fr"
+    assert service_id_for(frozenset(range(6))) == "Mo-Sa"
+    assert service_id_for(frozenset({5, 6})) == "Sa-Su"
+    assert service_id_for(frozenset({0, 2, 4})) == "Mo,We,Fr"
+    assert service_id_for(frozenset()) == "Mo-Su"
+
+
+def test_default_schedule_matches_golden():
+    """ci_abidjan default: Mo-Su,PH 05:00-22:00 @ 01:00 → the golden's
+    dominant frequency row (05:00:00-22:00:00, 3600) on service Mo-Su."""
+    [w] = tags_to_windows("Mo-Su,PH 05:00-22:00", "01:00")
+    assert (w["start_secs"], w["end_secs"], w["headway_secs"]) == (18000, 79200, 3600)
+    assert w["service_id"] == "Mo-Su" and all(w["day_flags"])
+
+
+def test_conditional_interval_splits_open_span():
+    wins = tags_to_windows(
+        "Mo-Su 05:00-22:00", "01:00", "00:09 @ (Mo-Fr 07:00-09:00)"
+    )
+    wd = sorted(
+        (w["start_secs"], w["end_secs"], w["headway_secs"])
+        for w in wins
+        if w["service_id"] == "Mo-Fr"
+    )
+    assert wd == [
+        (5 * 3600, 7 * 3600, 3600),
+        (7 * 3600, 9 * 3600, 540),
+        (9 * 3600, 22 * 3600, 3600),
+    ]
+    we = [w for w in wins if w["service_id"] == "Sa-Su"]
+    assert [(w["start_secs"], w["end_secs"], w["headway_secs"]) for w in we] == [
+        (5 * 3600, 22 * 3600, 3600)
+    ]
+
+
+def test_unparseable_returns_empty():
+    assert tags_to_windows(None, "01:00") == []
+    assert tags_to_windows("Mo-Fr 05:00-22:00", None) == []
+    assert tags_to_windows("sometimes", "01:00") == []
+
+
+# ---------------------------------------------------------------------------
+# Abidjan plan over a synthetic fixture
+# ---------------------------------------------------------------------------
+
+STOPS_XML = textwrap.dedent("""\
+    <osm>
+      <node id="1" lat="5.30" lon="-4.00"><tag k="highway" v="bus_stop"/><tag k="name" v="Alpha"/></node>
+      <node id="2" lat="5.31" lon="-4.01"><tag k="highway" v="bus_stop"/><tag k="name" v="Bravo"/></node>
+      <node id="3" lat="5.33" lon="-4.03"><tag k="highway" v="bus_stop"/><tag k="name" v="Charlie"/></node>
+    </osm>
+""")
+
+ROUTES_XML = textwrap.dedent("""\
+    <osm>
+      <node id="1" lat="5.30" lon="-4.00"><tag k="highway" v="bus_stop"/><tag k="name" v="Alpha"/></node>
+      <node id="2" lat="5.31" lon="-4.01"><tag k="highway" v="bus_stop"/><tag k="name" v="Bravo"/></node>
+      <node id="3" lat="5.33" lon="-4.03"><tag k="highway" v="bus_stop"/><tag k="name" v="Charlie"/></node>
+      <relation id="101">
+        <member type="node" ref="1" role="platform"/>
+        <member type="node" ref="2" role="platform"/>
+        <member type="node" ref="3" role="platform"/>
+        <tag k="type" v="route"/><tag k="route" v="bus"/><tag k="ref" v="12"/>
+        <tag k="from" v="Alpha"/><tag k="to" v="Charlie"/>
+        <tag k="duration" v="60"/>
+        <tag k="opening_hours" v="Mo-Fr 05:00-20:00"/>
+        <tag k="interval" v="00:30"/>
+        <tag k="interval:conditional" v="00:10 @ (Mo-Fr 07:00-09:00)"/>
+      </relation>
+      <relation id="102">
+        <member type="node" ref="3" role="platform"/>
+        <member type="node" ref="2" role="platform"/>
+        <member type="node" ref="1" role="platform"/>
+        <tag k="type" v="route"/><tag k="route" v="bus"/><tag k="ref" v="12"/>
+        <tag k="from" v="Charlie"/><tag k="to" v="Alpha"/>
+      </relation>
+      <relation id="201">
+        <member type="relation" ref="101" role=""/>
+        <member type="relation" ref="102" role=""/>
+        <tag k="type" v="route_master"/><tag k="route_master" v="bus"/>
+        <tag k="ref" v="12"/><tag k="name" v="Bus 12"/>
+        <tag k="network" v="Wibus"/>
+        <tag k="operator:website" v="http://www.sotra.ci"/>
+        <tag k="opening_hours" v="Mo-Su 06:00-22:00"/>
+        <tag k="interval" v="01:00"/>
+      </relation>
+    </osm>
+""")
+
+
+@pytest.fixture(scope="module")
+def abidjan_tables(spark, tmp_path_factory):
+    from osm2gtfs_spark.plans.abidjan import build_abidjan_tables
+    from osm2gtfs_spark.sources.osm_xml import xml_docs_df
+
+    d = tmp_path_factory.mktemp("abj")
+    (d / "stops.xml").write_text(STOPS_XML)
+    (d / "routes.xml").write_text(ROUTES_XML)
+    stops_docs = xml_docs_df(spark, [str(d / "stops.xml")], n_partitions=2)
+    routes_docs = xml_docs_df(spark, [str(d / "routes.xml")], n_partitions=2)
+    return build_abidjan_tables(stops_docs, routes_docs)
+
+
+def test_abidjan_agencies(abidjan_tables):
+    rows = {r["agency_id"]: r for r in abidjan_tables.agencies.collect()}
+    assert set(rows) == {"divers", "Wibus"}
+    assert rows["Wibus"]["agency_url"] == "http://www.sotra.ci"
+
+
+def test_abidjan_calendar_and_trips(abidjan_tables):
+    cal = {r["service_id"]: r for r in abidjan_tables.calendar.collect()}
+    assert set(cal) == {"Mo-Fr", "Mo-Su"}
+    assert cal["Mo-Fr"]["saturday"] == "0" and cal["Mo-Fr"]["friday"] == "1"
+    assert cal["Mo-Fr"]["start_date"] == "20200101"
+
+    trips = sorted(abidjan_tables.trips.collect(), key=lambda r: int(r["trip_id"]))
+    assert [t["trip_id"] for t in trips] == ["0", "1"]
+    # itinerary 101 (member seq 0) has its own schedule → Mo-Fr;
+    # itinerary 102 falls back to the line's Mo-Su windows
+    assert trips[0]["service_id"] == "Mo-Fr" and trips[0]["shape_id"] == "101"
+    assert trips[1]["service_id"] == "Mo-Su" and trips[1]["shape_id"] == "102"
+    assert [t["direction_id"] for t in trips] == ["0", "1"]
+    assert trips[0]["trip_headsign"] == "Charlie"
+
+
+def test_abidjan_frequencies_split(abidjan_tables):
+    freq = [
+        (r["trip_id"], r["start_time"], r["end_time"], r["headway_secs"])
+        for r in abidjan_tables.frequencies.collect()
+    ]
+    assert sorted(f for f in freq if f[0] == "0") == [
+        ("0", "05:00:00", "07:00:00", "1800"),
+        ("0", "07:00:00", "09:00:00", "600"),
+        ("0", "09:00:00", "20:00:00", "1800"),
+    ]
+    assert sorted(f for f in freq if f[0] == "1") == [
+        ("1", "06:00:00", "22:00:00", "3600")
+    ]
+
+
+def test_abidjan_stop_times_duration(abidjan_tables):
+    st = {
+        (r["trip_id"], r["stop_sequence"]): r["departure_time"]
+        for r in abidjan_tables.stop_times.collect()
+    }
+    # trip 0: duration tag 60 min → 06:00 → 07:00; trip 1: default 120
+    assert st[("0", "1")] == "06:00:00" and st[("0", "3")] == "07:00:00"
+    assert st[("1", "1")] == "06:00:00" and st[("1", "3")] == "08:00:00"
+    # interior stop strictly between, distance-weighted
+    assert "06:00:00" < st[("0", "2")] < "07:00:00"
+
+
+def test_abidjan_routes_row(abidjan_tables):
+    [r] = abidjan_tables.routes.collect()
+    assert r["route_id"] == "201" and r["route_short_name"] == "12"
+    assert r["agency_id"] == "Wibus"
+    assert r["route_long_name"] == "Charlie ↔ Alpha"  # LAST itinerary with fr+to
+    assert (r["route_color"], r["route_text_color"]) == ("1779c2", "ffffff")
+    assert r["route_type"] == "3"
