@@ -275,7 +275,9 @@ def itinerary_stops(relations: DataFrame) -> DataFrame:
         .select(
             F.col("id").alias("itinerary_osm_id"),
             F.posexplode(
-                F.filter("members", lambda m: m.role.startswith("platform"))
+                # EXACT equality: platform_entry_only / platform_exit_only
+                # members are NOT itinerary stops (osm_connector.py:392)
+                F.filter("members", lambda m: m.role == F.lit("platform"))
             ).alias("pos", "m"),
         )
         .select(
@@ -307,29 +309,46 @@ def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
     order, connect by matching endpoints with reversal as needed; on a
     mismatch, stop and truncate the shape (break-on-mismatch)."""
     pdf = pdf.sort_values("way_pos")
-    polys = [list(zip(pts_lat, pts_lon)) for pts_lat, pts_lon in zip(pdf.pts_lat, pdf.pts_lon)]
-    polys = [p for p in polys if p]
     itin = int(pdf.itinerary_osm_id.iloc[0])
-    if not polys:
+    geo: dict[int, tuple[float, float]] = {}
+    id_lists = []
+    for nids, lats, lons in zip(pdf.pts_nid, pdf.pts_lat, pdf.pts_lon):
+        ids = [int(n) for n in nids]
+        if not ids:
+            continue
+        id_lists.append(ids)
+        for n, la, lo in zip(ids, lats, lons):
+            geo[n] = (la, lo)
+    if not id_lists:
         return pd.DataFrame(columns=[f.name for f in _STITCH_SCHEMA.fields])
-    shape = list(polys[0])
-    for nxt in polys[1:]:
-        if nxt[0] == shape[-1]:
-            shape.extend(nxt[1:])
-        elif nxt[-1] == shape[-1]:
-            shape.extend(reversed(nxt[:-1]))
-        elif nxt[0] == shape[0]:
-            shape = list(reversed(nxt))[:-1] + shape
-        elif nxt[-1] == shape[0]:
-            shape = nxt[:-1] + shape
+    # exact reference algorithm (osm_connector.py:648-670): junction
+    # matching by NODE ID; a head-side match REVERSES the accumulated
+    # chain and appends (it does not prepend) — the final orientation of
+    # the polyline depends on this, so it must be bit-identical
+    sorter: list[int] = list(id_lists[0])
+    for ids in id_lists[1:]:
+        if sorter[-1] == ids[0]:
+            del sorter[-1]
+            sorter.extend(ids)
+        elif sorter[-1] == ids[-1]:
+            del sorter[-1]
+            sorter.extend(reversed(ids))
+        elif sorter[0] == ids[0]:
+            del sorter[0]
+            sorter.reverse()
+            sorter.extend(ids)
+        elif sorter[0] == ids[-1]:
+            del sorter[0]
+            sorter.reverse()
+            sorter.extend(reversed(ids))
         else:
             break  # non-contiguous → truncate (reference :665-670)
     return pd.DataFrame(
         {
             "itinerary_osm_id": itin,
-            "shape_pt_sequence": range(len(shape)),
-            "shape_pt_lat": [p[0] for p in shape],
-            "shape_pt_lon": [p[1] for p in shape],
+            "shape_pt_sequence": range(len(sorter)),
+            "shape_pt_lat": [geo[n][0] for n in sorter],
+            "shape_pt_lon": [geo[n][1] for n in sorter],
         }
     )
 
@@ -360,11 +379,12 @@ def build_shapes(relations: DataFrame, ways: DataFrame, nodes: DataFrame) -> Dat
         .groupBy("way_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("nref_pos", "lat", "lon"))
+                F.collect_list(F.struct("nref_pos", "nref", "lat", "lon"))
             ).alias("pts")
         )
         .select(
             "way_id",
+            F.transform("pts", lambda p: p.nref).alias("pts_nid"),
             F.transform("pts", lambda p: p.lat).alias("pts_lat"),
             F.transform("pts", lambda p: p.lon).alias("pts_lon"),
         )

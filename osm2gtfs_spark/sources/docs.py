@@ -187,20 +187,22 @@ def synthesize_city(spec: CitySpec) -> pd.DataFrame:
                 members.append(f"node/{node_id}/platform")
                 node_id += 1
             # way geometry (ordered; some deliberately non-contiguous)
-            prev_tail: tuple[float, float] | None = None
+            prev_tail_id: int | None = None
             n_ways = 3
             for wi in range(n_ways):
                 refs = []
                 broken = rng.random() < spec.broken_way_ratio and wi > 0
                 for gi in range(spec.geom_nodes_per_way):
-                    if gi == 0 and prev_tail is not None and not broken:
-                        lat, lon = prev_tail
-                    else:
-                        lat, lon = rand_pt()
+                    if gi == 0 and prev_tail_id is not None and not broken:
+                        # contiguous ways share the junction NODE (same id),
+                        # as in real OSM — the stitcher matches by node id
+                        refs.append(prev_tail_id)
+                        continue
+                    lat, lon = rand_pt()
                     add_doc(f"node/{geom_id}", [("geom", f"{lat},{lon}")])
                     refs.append(geom_id)
                     geom_id += 1
-                    prev_tail = (lat, lon)
+                prev_tail_id = refs[-1]
                 add_doc(
                     f"way/{way_id}",
                     [("noderef", str(r)) for r in refs] + _tag_spans({"highway": "road"}),

@@ -1,0 +1,133 @@
+"""Florianópolis golden parity: OSM fixtures + Fenix schedule → golden zip.
+
+The reference's br_florianopolis acceptance contract
+(tests_br_florianopolis.py:23-31): 73 routes, 1433 stop points, 0
+stations, golden stop_times for GTFS route_id 20 — plus full-table
+equality against ``br_florianopolis_gtfs.zip.ref`` for routes, trips
+and calendar (the golden was generated 2018-03 → derived feed dates
+20180301/20190228, which also means every Fenix service-exception date
+precedes the feed and is dropped, creators ref :137-151).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+import zipfile
+
+import pytest
+
+from osm2gtfs_spark.plans.florianopolis import build_florianopolis_tables
+from osm2gtfs_spark.sources.fenix import fenix_docs_df
+from osm2gtfs_spark.sources.osm_xml import xml_docs_df
+
+FX = "/root/reference/osm2gtfs/tests/creators/fixtures/br_florianopolis"
+GOLDEN = f"{FX}/br_florianopolis_gtfs.zip.ref"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN), reason="reference fixtures not available"
+)
+
+
+def _golden(table: str) -> list[dict]:
+    with zipfile.ZipFile(GOLDEN) as z:
+        return list(csv.DictReader(io.TextIOWrapper(z.open(table), encoding="utf-8")))
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    stops_docs = xml_docs_df(spark, [f"{FX}/overpass-stops.xml"])
+    routes_docs = xml_docs_df(spark, [f"{FX}/overpass-routes.xml"])
+    fenix_docs = fenix_docs_df(spark, f"{FX}/timetable.json")
+    return build_florianopolis_tables(stops_docs, routes_docs, fenix_docs)
+
+
+def test_counts(tables):
+    assert tables.stops.count() == 1433  # all points, no stations
+    assert tables.routes.count() == 73
+
+
+def test_routes_full_equality(tables):
+    golden = {r["route_id"]: r for r in _golden("routes.txt")}
+    got = {r["route_id"]: r.asDict() for r in tables.routes.collect()}
+    assert set(got) == set(golden)
+    for rid, g in golden.items():
+        assert got[rid] == g, f"route {rid}: {got[rid]} != {g}"
+
+
+def test_calendar_equality(tables):
+    golden = sorted(map(dict, _golden("calendar.txt")), key=lambda r: r["service_id"])
+    got = sorted((r.asDict() for r in tables.calendar.collect()), key=lambda r: r["service_id"])
+    assert got == golden
+
+
+def test_trips_full_equality(tables):
+    golden = {r["trip_id"]: r for r in _golden("trips.txt")}
+    got = {r["trip_id"]: r.asDict() for r in tables.trips.collect()}
+    assert len(got) == len(golden)
+    mism = [t for t in golden if got.get(t) != golden[t]]
+    assert not mism, (
+        f"{len(mism)} mismatching trips; first: got={got.get(mism[0])} want={golden[mism[0]]}"
+    )
+
+
+def test_route20_stop_times_golden(tables):
+    golden_trips = {r["trip_id"] for r in _golden("trips.txt") if r["route_id"] == "20"}
+    golden_st = sorted(
+        (
+            (r["trip_id"], int(r["stop_sequence"]), r["stop_id"], r["arrival_time"], r["departure_time"])
+            for r in _golden("stop_times.txt")
+            if r["trip_id"] in golden_trips
+        )
+    )
+    got_trips = {r["trip_id"] for r in tables.trips.collect() if r["route_id"] == "20"}
+    assert got_trips == golden_trips
+    got_st = sorted(
+        (r["trip_id"], int(r["stop_sequence"]), r["stop_id"], r["arrival_time"], r["departure_time"])
+        for r in tables.stop_times.collect()
+        if r["trip_id"] in got_trips
+    )
+    assert got_st == golden_st
+
+
+def test_stop_times_full_equality(tables):
+    golden = sorted(
+        (r["trip_id"], int(r["stop_sequence"]), r["stop_id"], r["arrival_time"], r["departure_time"])
+        for r in _golden("stop_times.txt")
+    )
+    got = sorted(
+        (r["trip_id"], int(r["stop_sequence"]), r["stop_id"], r["arrival_time"], r["departure_time"])
+        for r in tables.stop_times.collect()
+    )
+    assert len(got) == len(golden)
+    diffs = [(a, b) for a, b in zip(golden, got) if a != b]
+    assert not diffs, f"{len(diffs)} differing stop_times rows; first: {diffs[0]}"
+
+
+def test_stops_full_equality(tables):
+    golden = sorted(
+        (r["stop_id"], r["stop_name"], r["stop_lat"], r["stop_lon"])
+        for r in _golden("stops.txt")
+    )
+    # golden coords are Python-2 str(float): 12 significant digits
+    py2str = lambda v: "%.12g" % v  # noqa: E731
+    got = sorted(
+        (r["stop_id"], r["name"], py2str(r["lat"]), py2str(r["lon"]))
+        for r in tables.stops.collect()
+    )
+    assert got == golden
+
+
+def test_shapes_full_equality(tables):
+    golden = sorted(
+        (r["shape_id"], int(r["shape_pt_sequence"]), r["shape_pt_lat"], r["shape_pt_lon"])
+        for r in _golden("shapes.txt")
+    )
+    got = sorted(
+        (r["shape_id"], int(r["shape_pt_sequence"]), r["shape_pt_lat"], r["shape_pt_lon"])
+        for r in tables.shapes.collect()
+    )
+    assert len(got) == len(golden)
+    diffs = [(a, b) for a, b in zip(golden, got) if a != b]
+    assert not diffs, f"{len(diffs)} differing shape rows; first: {diffs[0]}"
