@@ -47,6 +47,7 @@ class AccraTables:
     trips: DataFrame
     stop_times: DataFrame
     frequencies: DataFrame
+    shapes: DataFrame
 
 
 def _haversine_tf(lat1, lon1, lat2, lon2):
@@ -229,10 +230,22 @@ def build_accra_tables(stops_docs: DataFrame, routes_docs: DataFrame) -> AccraTa
         "stop_id",
         (F.col("pos") + 1).cast("string").alias("stop_sequence"),
     )
+    # --- shapes: per itinerary with trips; 1-based transitfeed seqs ----
+    shapes_out = (
+        gtfs.build_shapes(relations, ways_r, docs_mod.decode_nodes(routes_docs))
+        .join(trips_full.select("itinerary_osm_id").distinct(), "itinerary_osm_id")
+        .select(
+            F.col("itinerary_osm_id").cast("string").alias("shape_id"),
+            gtfs.py2_float_str("shape_pt_lat").alias("shape_pt_lat"),
+            gtfs.py2_float_str("shape_pt_lon").alias("shape_pt_lon"),
+            (F.col("shape_pt_sequence") + 1).cast("string").alias("shape_pt_sequence"),
+        )
+    )
     return AccraTables(
         stops=stops_out,
         routes=routes_out.drop("_ref"),
         trips=trips_out,
         stop_times=stop_times_out,
         frequencies=frequencies_out,
+        shapes=shapes_out,
     )

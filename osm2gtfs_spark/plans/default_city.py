@@ -34,6 +34,7 @@ class CityTables:
     trips: DataFrame
     stop_times: DataFrame
     calendar: DataFrame
+    shapes: DataFrame
 
 
 def verify_itineraries(itineraries: DataFrame, schedule: DataFrame) -> DataFrame:
@@ -200,10 +201,30 @@ def build_city_tables(
         )
     )
     calendar, _ = SP.build_calendar(per_service.select("service"), feed_start, feed_end)
+
+    # --- shapes: one per itinerary that produced trips (W4/O1) ----------
+    # reference _add_shape_to_feed (trips_creator.py:161-176): shape_id =
+    # itinerary osm id; transitfeed point sequences are 1-based
+    nodes_r = docs_mod.decode_nodes(routes_docs)
+    ways_r = docs_mod.decode_ways(routes_docs)
+    shapes_txt = (
+        gtfs.build_shapes(rels_r, ways_r, nodes_r)
+        .join(
+            trips_full.select("itinerary_osm_id", "itinerary_id").distinct(),
+            "itinerary_osm_id",
+        )
+        .select(
+            F.col("itinerary_id").alias("shape_id"),
+            gtfs.py2_float_str("shape_pt_lat").alias("shape_pt_lat"),
+            gtfs.py2_float_str("shape_pt_lon").alias("shape_pt_lon"),
+            (F.col("shape_pt_sequence") + 1).cast("string").alias("shape_pt_sequence"),
+        )
+    )
     return CityTables(
         stops=stops_txt,
         routes=routes_txt,
         trips=trips_txt,
         stop_times=stop_times_txt,
         calendar=calendar,
+        shapes=shapes_txt,
     )

@@ -282,8 +282,8 @@ def build_florianopolis_tables(
         .join(F.broadcast(shape_owner), "itinerary_osm_id")
         .select(
             F.col("ref").alias("shape_id"),
-            F.col("shape_pt_lat").cast("string").alias("shape_pt_lat"),
-            F.col("shape_pt_lon").cast("string").alias("shape_pt_lon"),
+            gtfs.py2_float_str("shape_pt_lat").alias("shape_pt_lat"),
+            gtfs.py2_float_str("shape_pt_lon").alias("shape_pt_lon"),
             # transitfeed Shape.AddPoint sequences are 1-based in the golden
             (F.col("shape_pt_sequence") + 1).cast("string").alias("shape_pt_sequence"),
         )

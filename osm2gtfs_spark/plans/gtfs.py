@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
 
 from osm2gtfs_spark.functions.geo import (
     centroid_lat,
@@ -517,3 +518,13 @@ def prune_unused_routes(lines: DataFrame, trips: DataFrame) -> DataFrame:
     """P16: left anti join — drop routes with zero trips."""
     used = trips.select("route_id").distinct()
     return lines.join(used, "route_id", "left_semi")
+
+
+@pandas_udf(T.StringType())
+def py2_float_str(v: pd.Series) -> pd.Series:
+    """Python-2 ``str(float)`` (12 significant digits, no sci notation
+    for the coordinate ranges in play) — the dialect transitfeed wrote
+    into the golden zips. Spark's ``cast('string')`` uses Java
+    ``Double.toString`` which switches to scientific notation below
+    1e-3 ('-2.186E-4' vs '-0.0002186')."""
+    return v.map(lambda x: None if pd.isna(x) else "%.12g" % x)

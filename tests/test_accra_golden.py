@@ -109,3 +109,18 @@ def test_golden_stops_sample(tables):
         assert o.parent_station == g["parent_station"], sid
         assert abs(float(o.stop_lat) - float(g["stop_lat"])) < 1e-9
         assert o.stop_name == g["stop_name"]
+
+
+def test_shapes_full_equality(tables):
+    """O1 stitcher orientation-exact vs the Accra golden (92,599 rows)."""
+    golden = sorted(
+        (r["shape_id"], int(r["shape_pt_sequence"]), r["shape_pt_lat"], r["shape_pt_lon"])
+        for r in _golden("shapes.txt")
+    )
+    got = sorted(
+        (r["shape_id"], int(r["shape_pt_sequence"]), r["shape_pt_lat"], r["shape_pt_lon"])
+        for r in tables.shapes.collect()
+    )
+    assert len(got) == len(golden)
+    diffs = [(a, b) for a, b in zip(golden, got) if a != b]
+    assert not diffs, f"{len(diffs)} differing shape rows; first: {diffs[0]}"

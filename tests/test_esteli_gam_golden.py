@@ -139,3 +139,19 @@ def test_calendar_day_flags(city_tables):
         for r in t.calendar.collect()
     }
     assert got == golden
+
+
+def test_shapes_full_equality(city_tables):
+    """O1 stitcher orientation-exact: byte-equal shapes.txt (1-based)."""
+    city, _cfg, t = city_tables
+    golden = sorted(
+        (r["shape_id"], int(r["shape_pt_sequence"]), r["shape_pt_lat"], r["shape_pt_lon"])
+        for r in _golden(city, "shapes.txt")
+    )
+    got = sorted(
+        (r["shape_id"], int(r["shape_pt_sequence"]), r["shape_pt_lat"], r["shape_pt_lon"])
+        for r in t.shapes.collect()
+    )
+    assert len(got) == len(golden)
+    diffs = [(a, b) for a, b in zip(golden, got) if a != b]
+    assert not diffs, f"{city}: {len(diffs)} differing shape rows; first: {diffs[0]}"
