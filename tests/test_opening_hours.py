@@ -202,3 +202,42 @@ def test_abidjan_routes_row(abidjan_tables):
     assert r["route_long_name"] == "Charlie ↔ Alpha"  # LAST itinerary with fr+to
     assert (r["route_color"], r["route_text_color"]) == ("1779c2", "ffffff")
     assert r["route_type"] == "3"
+
+
+FX_REAL = "/root/reference/osm2gtfs/tests/creators/fixtures/ci_abidjan"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(f"{FX_REAL}/ci_abidjan_gtfs.zip.ref"),
+    reason="reference fixtures not available",
+)
+def test_abidjan_real_stops_golden(spark):
+    """The reference's Abidjan routes XML is absent upstream, but stop
+    construction is independent of routes: our stops over the REAL
+    overpass-stops.xml must byte-match the golden zip's stops.txt
+    (2,614 rows, count contract tests_ci_abidjan.py:19-21)."""
+    import csv
+    import io
+    import zipfile
+
+    from osm2gtfs_spark.plans import gtfs
+    from osm2gtfs_spark.sources import docs as docs_mod
+    from osm2gtfs_spark.sources.osm_xml import xml_docs_df
+
+    sd = xml_docs_df(spark, [f"{FX_REAL}/overpass-stops.xml"])
+    stops = gtfs.build_stops(
+        docs_mod.decode_nodes(sd), docs_mod.decode_ways(sd), "Arret sans nom"
+    )
+    got = sorted(
+        (r["stop_id"], r["name"], "%.12g" % r["lat"], "%.12g" % r["lon"])
+        for r in stops.collect()
+    )
+    with zipfile.ZipFile(f"{FX_REAL}/ci_abidjan_gtfs.zip.ref") as z:
+        golden = sorted(
+            (r["stop_id"], r["stop_name"], r["stop_lat"], r["stop_lon"])
+            for r in csv.DictReader(
+                io.TextIOWrapper(z.open("stops.txt"), encoding="utf-8")
+            )
+        )
+    assert len(got) == len(golden) == 2614
+    assert got == golden
