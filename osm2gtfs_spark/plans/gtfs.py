@@ -293,65 +293,46 @@ def itinerary_stops(relations: DataFrame) -> DataFrame:
 # Shapes (osm_connector.py:620-675 — two-hop join J6 + stitch kernel O1)
 # ---------------------------------------------------------------------------
 
-_STITCH_SCHEMA = T.StructType(
-    [
-        T.StructField("itinerary_osm_id", T.LongType()),
-        T.StructField("shape_pt_sequence", T.IntegerType()),
-        T.StructField("shape_pt_lat", T.DoubleType()),
-        T.StructField("shape_pt_lon", T.DoubleType()),
-    ]
-)
+def _stitch_fold(ways_arr):
+    """O1 as a pure-Catalyst fold — no Python worker.
 
+    ``ways_arr`` is the ordered array of per-way node-id arrays; the
+    fold reproduces osm_connector.py:648-670 exactly: junctions matched
+    by node id; a head-side match REVERSES the accumulated chain and
+    appends; first mismatch sets ``broken`` and freezes the chain
+    (truncation). Runs entirely in whole-stage codegen — replaces the
+    applyInPandas kernel (same semantics, golden-verified) at ~0 task
+    overhead."""
+    sz = F.size
+    empty = F.array().cast("array<bigint>")
 
-def _stitch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """O1: order member ways into one polyline by endpoint matching.
+    def merge(st, ids):
+        chain = st.chain
+        body = F.slice(chain, 2, sz(chain) - 1)  # chain[1:]
+        init = F.slice(chain, 1, sz(chain) - 1)  # chain[:-1]
+        tail, head = F.element_at(chain, -1), F.element_at(chain, 1)
+        i0, iN = F.element_at(ids, 1), F.element_at(ids, -1)
+        new_chain = (
+            F.when(sz(chain) == 0, ids)
+            .when(tail == i0, F.concat(init, ids))
+            .when(tail == iN, F.concat(init, F.reverse(ids)))
+            .when(head == i0, F.concat(F.reverse(body), ids))
+            .when(head == iN, F.concat(F.reverse(body), F.reverse(ids)))
+            .otherwise(chain)
+        )
+        now_broken = st.broken | (
+            (sz(chain) > 0) & (tail != i0) & (tail != iN) & (head != i0) & (head != iN)
+        )
+        return F.struct(
+            F.when(st.broken, chain).otherwise(new_chain).alias("chain"),
+            now_broken.alias("broken"),
+        )
 
-    Reference semantics (osm_connector.py:620-675): walk ways in member
-    order, connect by matching endpoints with reversal as needed; on a
-    mismatch, stop and truncate the shape (break-on-mismatch)."""
-    pdf = pdf.sort_values("way_pos")
-    itin = int(pdf.itinerary_osm_id.iloc[0])
-    geo: dict[int, tuple[float, float]] = {}
-    id_lists = []
-    for nids, lats, lons in zip(pdf.pts_nid, pdf.pts_lat, pdf.pts_lon):
-        ids = [int(n) for n in nids]
-        if not ids:
-            continue
-        id_lists.append(ids)
-        for n, la, lo in zip(ids, lats, lons):
-            geo[n] = (la, lo)
-    if not id_lists:
-        return pd.DataFrame(columns=[f.name for f in _STITCH_SCHEMA.fields])
-    # exact reference algorithm (osm_connector.py:648-670): junction
-    # matching by NODE ID; a head-side match REVERSES the accumulated
-    # chain and appends (it does not prepend) — the final orientation of
-    # the polyline depends on this, so it must be bit-identical
-    sorter: list[int] = list(id_lists[0])
-    for ids in id_lists[1:]:
-        if sorter[-1] == ids[0]:
-            del sorter[-1]
-            sorter.extend(ids)
-        elif sorter[-1] == ids[-1]:
-            del sorter[-1]
-            sorter.extend(reversed(ids))
-        elif sorter[0] == ids[0]:
-            del sorter[0]
-            sorter.reverse()
-            sorter.extend(ids)
-        elif sorter[0] == ids[-1]:
-            del sorter[0]
-            sorter.reverse()
-            sorter.extend(reversed(ids))
-        else:
-            break  # non-contiguous → truncate (reference :665-670)
-    return pd.DataFrame(
-        {
-            "itinerary_osm_id": itin,
-            "shape_pt_sequence": range(len(sorter)),
-            "shape_pt_lat": [geo[n][0] for n in sorter],
-            "shape_pt_lon": [geo[n][1] for n in sorter],
-        }
-    )
+    return F.aggregate(
+        ways_arr,
+        F.struct(empty.alias("chain"), F.lit(False).alias("broken")),
+        merge,
+    )["chain"]
 
 
 def build_shapes(relations: DataFrame, ways: DataFrame, nodes: DataFrame) -> DataFrame:
@@ -359,8 +340,9 @@ def build_shapes(relations: DataFrame, ways: DataFrame, nodes: DataFrame) -> Dat
 
     Geometry members are ways whose role does not start with 'platform'
     (P5, osm_connector.py:630-633). The two hops are shuffle equi joins
-    with order keys carried; the stitch itself is applyInPandas per
-    itinerary (bounded group size)."""
+    with order keys carried; the stitch is a built-in array fold
+    (:func:`_stitch_fold`), then one join back to nodes for coords —
+    the whole operator stays JVM-side (no pandas workers)."""
     member_ways = (
         relations.filter(tag("type") == "route")
         .select(
@@ -383,15 +365,31 @@ def build_shapes(relations: DataFrame, ways: DataFrame, nodes: DataFrame) -> Dat
                 F.collect_list(F.struct("nref_pos", "nref", "lat", "lon"))
             ).alias("pts")
         )
+        .select("way_id", F.transform("pts", lambda p: p.nref).alias("pts_nid"))
+    )
+    joined = member_ways.join(way_pts.select("way_id", "pts_nid"), "way_id")
+    chains = (
+        joined.groupBy("itinerary_osm_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("way_pos", "pts_nid"))).alias("w")
+        )
         .select(
-            "way_id",
-            F.transform("pts", lambda p: p.nref).alias("pts_nid"),
-            F.transform("pts", lambda p: p.lat).alias("pts_lat"),
-            F.transform("pts", lambda p: p.lon).alias("pts_lon"),
+            "itinerary_osm_id",
+            _stitch_fold(F.transform("w", lambda x: x.pts_nid)).alias("chain"),
         )
     )
-    joined = member_ways.join(way_pts, "way_id")
-    return joined.groupBy("itinerary_osm_id").applyInPandas(_stitch_group, _STITCH_SCHEMA)
+    return (
+        chains.select(
+            "itinerary_osm_id", F.posexplode("chain").alias("shape_pt_sequence", "nref")
+        )
+        .join(nodes.select(F.col("id").alias("nref"), "lat", "lon"), "nref")
+        .select(
+            "itinerary_osm_id",
+            F.col("shape_pt_sequence").cast("int").alias("shape_pt_sequence"),
+            F.col("lat").alias("shape_pt_lat"),
+            F.col("lon").alias("shape_pt_lon"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
