@@ -53,6 +53,7 @@ class FlorianopolisTables:
     stops: DataFrame
     routes: DataFrame
     calendar: DataFrame
+    calendar_dates: DataFrame
     trips: DataFrame
     stop_times: DataFrame
     shapes: DataFrame
@@ -194,9 +195,45 @@ def build_florianopolis_tables(
         .cache()
     )
 
+    # --- service exceptions (operacoes with date >= feed start) ----------
+    # reference :137-151 + get_exception_service_period :234-253: per
+    # exception date a one-day service "<yyyymmdd>_<tipo>" is created,
+    # the matching base service gets a calendar_dates removal, and that
+    # day's Sábado/Domingo trips are ALSO emitted under the exception
+    # service — BEFORE the regular weekday/sat/sun trips, in operacoes
+    # order. (All golden dates precede the feed start, so this path is
+    # empty there; it is exercised by the synthetic-start test.)
+    exc = (
+        fx.fenix_exceptions(fen)
+        .filter(F.to_date("data") >= F.to_date(F.lit(start_date), "yyyyMMdd"))
+        .withColumn("date_str", F.date_format(F.to_date("data"), "yyyyMMdd"))
+        .withColumn(
+            "day_kind",
+            F.when(F.col("tipo") == fx.SATURDAY, "saturday").when(
+                F.col("tipo") == fx.SUNDAY, "sunday"
+            ),
+        )
+        .filter(F.col("day_kind").isNotNull())
+        .withColumn("exc_service", F.concat("date_str", F.lit("_"), "tipo"))
+        .cache()
+    )
+    group_cols = [c for c in matched.columns] + ["service_out", "day_order2"]
+    reg_groups = matched.withColumn("service_out", F.col("day_kind")).withColumn(
+        "day_order2", F.lit(1_000_000) + F.col("day_order")
+    )
+    exc_groups = (
+        matched.join(
+            exc.select("ref", "day_kind", "exc_idx", "exc_service"),
+            ["ref", "day_kind"],
+        )
+        .withColumn("service_out", F.col("exc_service"))
+        .withColumn("day_order2", F.col("exc_idx"))
+    )
+    groups = reg_groups.select(*group_cols).unionByName(exc_groups.select(*group_cols))
+
     # --- trips: transitfeed insertion order ------------------------------
-    # reference loop: line (sorted by ref) → day (weekday, sat, sun) →
-    # itinerary (member order) → group → point
+    # reference loop: line (sorted by ref) → exceptions (operacoes order)
+    # → day (weekday, sat, sun) → itinerary (member order) → group → point
     # masterless itineraries (Itinerary.line is None, osm_connector:409-411)
     # get DOUBLE duration when the day has more than one departure place —
     # "only one instead of two trips" (trips_creator_br_florianopolis.py:216-221)
@@ -204,7 +241,7 @@ def build_florianopolis_tables(
         F.count_distinct("saida").alias("n_saidas")
     )
     trips_full = (
-        matched.join(
+        groups.join(
             fen_deps.select("ref", "day_kind", "saida", "grp", "pt", "dep_secs"),
             ["ref", "day_kind", "saida"],
         )
@@ -214,7 +251,7 @@ def build_florianopolis_tables(
             (
                 F.row_number().over(
                     Window.orderBy(
-                        "ref", "day_order", "seq", "itinerary_osm_id", "grp", "pt"
+                        "ref", "day_order2", "seq", "itinerary_osm_id", "grp", "pt"
                     )
                 )
                 - 1
@@ -245,7 +282,7 @@ def build_florianopolis_tables(
             F.col("gtfs_route_id").alias("route_id"),
             "trip_id",
             F.coalesce("itin_name", F.lit("")).alias("trip_headsign"),
-            F.col("day_kind").alias("service_id"),
+            F.col("service_out").alias("service_id"),
             F.lit("").alias("block_id"),
             F.lit("").alias("wheelchair_accessible"),
             F.lit("").alias("bikes_allowed"),
@@ -254,8 +291,8 @@ def build_florianopolis_tables(
         )
     )
 
-    # --- calendar ---------------------------------------------------------
-    calendar = spark.createDataFrame(
+    # --- calendar + calendar_dates ----------------------------------------
+    base_calendar = spark.createDataFrame(
         [
             ("weekday", start_date, end_date, "1", "1", "1", "1", "1", "0", "0"),
             ("saturday", start_date, end_date, "0", "0", "0", "0", "0", "1", "0"),
@@ -265,13 +302,44 @@ def build_florianopolis_tables(
         "tuesday string, wednesday string, thursday string, friday string, "
         "saturday string, sunday string",
     )
+    # one-day exception services: day-of-week flag of the DATE
+    wd = F.weekday(F.to_date("data"))  # 0 = Monday
+    exc_calendar = (
+        exc.select("exc_service", "date_str", "data")
+        .dropDuplicates(["exc_service"])
+        .select(
+            F.col("exc_service").alias("service_id"),
+            F.col("date_str").alias("start_date"),
+            F.col("date_str").alias("end_date"),
+            *[
+                (wd == i).cast("int").cast("string").alias(day)
+                for i, day in enumerate(
+                    ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"]
+                )
+            ],
+        )
+    )
+    calendar = base_calendar.unionByName(exc_calendar)
+    # base service loses each exception date (SetDateHasService(date, False))
+    calendar_dates = (
+        exc.select("date_str", "data")
+        .dropDuplicates(["date_str"])
+        .select(
+            F.when(wd <= 4, "weekday")
+            .when(wd == 5, "saturday")
+            .otherwise("sunday")
+            .alias("service_id"),
+            F.col("date_str").alias("date"),
+            F.lit("2").alias("exception_type"),
+        )
+    )
 
     # --- shapes: first matched itinerary per ref owns the shape ----------
     shape_owner = (
-        matched.withColumn(
+        groups.withColumn(
             "_rk",
             F.row_number().over(
-                Window.partitionBy("ref").orderBy("day_order", "seq", "itinerary_osm_id")
+                Window.partitionBy("ref").orderBy("day_order2", "seq", "itinerary_osm_id")
             ),
         )
         .filter("_rk = 1")
@@ -360,6 +428,7 @@ def build_florianopolis_tables(
         stops=stops,
         routes=routes,
         calendar=calendar,
+        calendar_dates=calendar_dates,
         trips=trips,
         stop_times=stop_times,
         shapes=shapes,

@@ -145,7 +145,11 @@ def fenix_departures(fenix: DataFrame) -> DataFrame:
 
 
 def fenix_exceptions(fenix: DataFrame) -> DataFrame:
-    """(ref, date 'YYYY-MM-DD', tipo) service-exception rows."""
-    return fenix.select("ref", F.explode("operacoes").alias("o")).select(
-        "ref", F.col("o.data").alias("data"), F.col("o.tipo").alias("tipo")
+    """(ref, exc_idx, date 'YYYY-MM-DD', tipo) service-exception rows.
+
+    ``exc_idx`` preserves the operacoes array order — the reference
+    iterates it directly (trips_creator_br_florianopolis.py:137-151),
+    which fixes the trip insertion order when exceptions are active."""
+    return fenix.select("ref", F.posexplode("operacoes").alias("exc_idx", "o")).select(
+        "ref", "exc_idx", F.col("o.data").alias("data"), F.col("o.tipo").alias("tipo")
     )

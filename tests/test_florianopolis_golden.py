@@ -131,3 +131,44 @@ def test_shapes_full_equality(tables):
     assert len(got) == len(golden)
     diffs = [(a, b) for a, b in zip(golden, got) if a != b]
     assert not diffs, f"{len(diffs)} differing shape rows; first: {diffs[0]}"
+
+
+def test_calendar_dates_empty_for_golden(tables):
+    """All Fenix exception dates precede 2018-03-01 → none active."""
+    assert tables.calendar_dates.count() == 0
+
+
+def test_service_exceptions_with_early_start(spark):
+    """Re-run with start 2017-01-01: operacoes dates become active —
+    per-date one-day services, base-service removals (exception_type 2),
+    exception trips inserted BEFORE the regular ones per route
+    (trips_creator_br_florianopolis.py:137-151,234-253)."""
+    stops_docs = xml_docs_df(spark, [f"{FX}/overpass-stops.xml"])
+    routes_docs = xml_docs_df(spark, [f"{FX}/overpass-routes.xml"])
+    fenix_docs = fenix_docs_df(spark, f"{FX}/timetable.json")
+    t = build_florianopolis_tables(
+        stops_docs, routes_docs, fenix_docs, start_date="20170101", end_date="20180201"
+    )
+    cal = {r["service_id"]: r for r in t.calendar.collect()}
+    exc_ids = [s for s in cal if s not in ("weekday", "saturday", "sunday")]
+    assert exc_ids, "exception services must exist with a 2017 feed start"
+    # one-day services: start==end==date prefix, exactly one day flag set
+    days = ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"]
+    for s in exc_ids:
+        r = cal[s]
+        assert r["start_date"] == r["end_date"] == s[:8]
+        assert sum(int(r[d]) for d in days) == 1
+    cd = {(r["service_id"], r["date"]): r["exception_type"] for r in t.calendar_dates.collect()}
+    assert cd and all(v == "2" for v in cd.values())
+    assert all(s in ("weekday", "saturday", "sunday") for s, _ in cd)
+    # exception trips exist and come before regular trips within a route
+    trips = [r.asDict() for r in t.trips.collect()]
+    by_route: dict[str, list] = {}
+    for r in sorted(trips, key=lambda x: int(x["trip_id"])):
+        by_route.setdefault(r["route_id"], []).append(r["service_id"])
+    routes_with_exc = [svcs for svcs in by_route.values() if any("_" in s for s in svcs)]
+    assert routes_with_exc
+    for svcs in routes_with_exc:
+        first_regular = next(i for i, s in enumerate(svcs) if "_" not in s)
+        assert all("_" in s for s in svcs[:first_regular])
+        assert all("_" not in s for s in svcs[first_regular:])
