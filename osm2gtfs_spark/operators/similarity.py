@@ -155,3 +155,116 @@ def embedding_near_dup(
         .withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
     )
     return j.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _cents_lit(cents: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+
+def _cell_of(vec_col: Column, cents: list[list[float]]) -> Column:
+    """Index (0-based) of the max-cosine centroid — pure column math."""
+    sims = F.transform(_cents_lit(cents), lambda c: cosine(vec_col, c))
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Init = the n_cells rows with the smallest xxhash64(id, seed) —
+    seed-stable and shuffle-independent. Each iteration is ONE Spark
+    job: assign every vector to its max-cosine centroid (column math),
+    then per-(cell, dimension) mean via posexplode + groupBy; the
+    (n_cells × dim) result is collected to the driver — tiny. Empty
+    cells keep their previous centroid."""
+    init = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = vectors.select(
+            _cell_of(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(vec_col).alias("dim", "v"),
+        )
+        rows = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r["cell"]][r["dim"]] = float(r["m"])
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, vec) — the inverted-file posting lists. At corpus
+    scale this is the table you bucket/partition BY cell, so a probe
+    touches only nprobe partitions (partition pruning on the read)."""
+    return vectors.select(
+        F.col(id_col),
+        _cell_of(F.col(vec_col), cents).alias("cell"),
+        F.col(vec_col),
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: each query probes its nprobe nearest cells and
+    brute-forces only those posting lists — an equi join on cell, never
+    a cross join. Recall is tunable via nprobe (and asserted in tests)."""
+    sims = F.transform(_cents_lit(cents), lambda c: cosine(F.col(vec_col), c))
+    probe = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.slice(
+                F.reverse(F.array_sort(F.arrays_zip(sims.alias("s"),
+                    F.transform(sims, lambda _, i: i).alias("cell")))),
+                1,
+                nprobe,
+            ).alias("probes"),
+        )
+        .select("query_id", "q_vec", F.explode("probes").alias("p"))
+        .select("query_id", "q_vec", F.col("p.cell").alias("cell"))
+    )
+    postings = ivf_assign(corpus, cents, id_col, vec_col).select(
+        "cell", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    j = (
+        probe.join(postings, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

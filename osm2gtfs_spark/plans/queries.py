@@ -1026,3 +1026,18 @@ def opening_hours_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.service_id").alias("service_id"),
         )
     )
+
+
+@register("ann_ivf_topk")  # rows-only: k-means floats are engine-specific;
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path: the
+    corpus is partitioned into cells by a deterministic k-means; each
+    query probes its nprobe nearest cells (equi join on cell, no cross
+    join). Exactness at nprobe=n_cells and recall monotonicity are
+    asserted in tests/test_dedup_similarity.py."""
+    emb = tpch.load(spark, sf_dir, "embeddings")
+    cents = SIM.ivf_centroids(emb, n_cells=8, iters=3)
+    q = emb.filter(F.col("vec_id") < 20)
+    return SIM.cosine_topk_ivf(q, emb, cents, k=5, nprobe=3).select(
+        "query_id", "neighbor_id", "rank"
+    )

@@ -117,3 +117,40 @@ def test_lsh_bucket_skew_guard(docs):
     unlimited = DD.lsh_candidate_pairs(bands, max_bucket=None).count()
     capped = DD.lsh_candidate_pairs(bands, max_bucket=10).count()
     assert capped <= unlimited
+
+
+def test_ivf_topk_recall_and_exactness(spark, sf_dir):
+    """IVF coarse-quantizer ANN: recall grows with nprobe and probing
+    ALL cells recovers exact brute-force results (the posting lists
+    partition the corpus — no candidates are lost, only skipped)."""
+    from osm2gtfs_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    cents = S.ivf_centroids(emb, n_cells=8, iters=3)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    q = emb.filter("vec_id < 15")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bruteforce(q, emb, k=5).collect()
+    }
+    rec = {}
+    for nprobe in (2, 8):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.cosine_topk_ivf(q, emb, cents, k=5, nprobe=nprobe).collect()
+        }
+        rec[nprobe] = len(brute & got) / len(brute)
+    assert rec[8] == 1.0, f"nprobe=n_cells must be exact, got {rec[8]}"
+    assert rec[2] <= rec[8]
+
+
+def test_ivf_cells_cover_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from osm2gtfs_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.ivf_centroids(emb, n_cells=8, iters=2)
+    assigned = S.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()  # partition, not a filter
+    assert assigned.filter((F.col("cell") < 0) | (F.col("cell") >= 8)).count() == 0
