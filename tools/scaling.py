@@ -108,6 +108,16 @@ def workload(spark, sf_dir: str, doc_mult: int, pt_mult: int) -> dict[str, float
     out["tiles_sec"] = time.time() - t0
     rows += n_tiles
 
+    # NOTE on the GTFS pipeline: it is deliberately NOT part of this
+    # N→4N workload. Measured (warmed) at 20k synthetic lines / 1.35M
+    # output rows the pipeline takes ~19-21 s at local[2], local[8] AND
+    # local[32] — the wall time is driver-side Catalyst planning +
+    # codegen for ~15 deep plan trees, constants that do not change
+    # with executor count at sandbox data sizes. Including it would
+    # measure the driver, not scaling. Its throughput is reported by
+    # bench.py (gtfs_rows_per_sec); at real corpus scale executor time
+    # dominates and each stage is shuffle-parallel (see PLANS.md).
+
     out["rows"] = rows
     return out
 
