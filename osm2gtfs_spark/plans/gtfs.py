@@ -526,3 +526,95 @@ def py2_float_str(v: pd.Series) -> pd.Series:
     ``Double.toString`` which switches to scientific notation below
     1e-3 ('-2.186E-4' vs '-0.0002186')."""
     return v.map(lambda x: None if pd.isna(x) else "%.12g" % x)
+
+
+def auto_stop_names(
+    stops: DataFrame,
+    nodes: DataFrame,
+    ways: DataFrame,
+    name_without: str,
+    radius_m: float = 50.0,
+    res: int = 18,
+    k_ring: int = 2,
+    distance: str = "haversine",
+) -> DataFrame:
+    """name_auto: guess names for unnamed stops from surroundings (J9).
+
+    Reference ``_get_names_for_unnamed_stops`` /
+    ``_find_best_name_for_unnamed_stop`` (osm_connector.py:696-785): one
+    Overpass 50 m radius query PER STOP for named ways (excluding
+    trunk/primary/secondary highways and bus_station amenities) and
+    named nodes (excluding bus_stops), then argmin by
+    ApproximateDistance; no candidate → the bare ``name_without`` (no
+    brackets), so the stop isn't re-queried next run.
+
+    Here: ONE batched cell-ring join over the whole corpus instead of a
+    network round-trip per stop. res=18 cells are ~76 m tall, so
+    k_ring=2 over-covers the 50 m radius for |lat| < 80° — the ring is
+    a candidate SUPERSET and the radius filter below makes the result
+    exactly the per-stop brute force. ``distance='sqdeg'`` ranks by
+    squared degrees (bit-reproducible across engines, used by the
+    oracle); 'haversine' ranks by meters.
+    """
+    from osm2gtfs_spark.functions.geo import cell_id, cell_ring, haversine_m
+
+    placeholder = f"[{name_without}]"
+    unnamed = stops.filter(F.col("name") == placeholder)
+
+    node_cand = nodes.filter(
+        tag("name").isNotNull() & ~(F.coalesce(tag("highway"), F.lit("")) == "bus_stop")
+    ).select(tag("name").alias("cand_name"), "lat", "lon")
+    way_named = ways.filter(
+        tag("name").isNotNull()
+        & ~F.coalesce(tag("highway"), F.lit("")).isin("trunk", "primary", "secondary")
+        & ~(F.coalesce(tag("amenity"), F.lit("")) == "bus_station")
+    )
+    way_pts = way_named.select(
+        "id", tag("name").alias("cand_name"), F.explode("node_refs").alias("nref")
+    ).join(nodes.select(F.col("id").alias("nref"), "lat", "lon"), "nref")
+    cents = spherical_centroid_aggs("lat", "lon")
+    way_cand = (
+        way_pts.groupBy("id")
+        .agg(F.first("cand_name").alias("cand_name"), *cents.values())
+        .select(
+            "cand_name",
+            centroid_lat("cx", "cy", "cz").alias("lat"),
+            centroid_lon("cx", "cy").alias("lon"),
+        )
+    )
+    cand = node_cand.unionByName(way_cand).select(
+        "cand_name",
+        F.col("lat").alias("_c_lat"),
+        F.col("lon").alias("_c_lon"),
+        cell_id("lat", "lon", res).alias("_cell"),
+    )
+    probe = unnamed.select(
+        "stop_key",
+        F.col("lat").alias("_s_lat"),
+        F.col("lon").alias("_s_lon"),
+        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("_cell"),
+    )
+    meters = haversine_m("_s_lat", "_s_lon", "_c_lat", "_c_lon")
+    if distance == "haversine":
+        rank_dist = meters
+    else:
+        dlat = F.col("_s_lat") - F.col("_c_lat")
+        dlon = F.col("_s_lon") - F.col("_c_lon")
+        rank_dist = dlat * dlat + dlon * dlon
+    w = Window.partitionBy("stop_key").orderBy(F.col("_d").asc(), F.col("cand_name").asc())
+    best = (
+        probe.join(cand, "_cell")
+        .filter(meters <= F.lit(radius_m))
+        .withColumn("_d", rank_dist)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1")
+        .select("stop_key", F.col("cand_name").alias("guessed_name"))
+    )
+    # no broadcast hint: the unnamed set can be large at corpus scale —
+    # AQE picks broadcast when it actually fits
+    return stops.join(best, "stop_key", "left").withColumn(
+        "name",
+        F.when(F.col("name") != placeholder, F.col("name"))
+        .when(F.col("guessed_name").isNotNull(), F.col("guessed_name"))
+        .otherwise(F.lit(name_without)),
+    ).drop("guessed_name")

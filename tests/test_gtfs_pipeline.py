@@ -124,3 +124,37 @@ def test_pruning_anti_joins(tables):
     troutes = {r.route_id for r in tables.trips.select("route_id").distinct().collect()}
     rroutes = {r.route_id for r in tables.routes.collect()}
     assert rroutes <= troutes
+
+
+def test_auto_stop_names(spark):
+    """J9 name guessing (osm_connector.py:696-785): unnamed stops take
+    the closest named feature within 50 m — bus_stop nodes and
+    trunk/primary/secondary ways excluded; no candidate → the BARE
+    name_without (no brackets)."""
+    from osm2gtfs_spark.plans.gtfs import auto_stop_names, build_stops
+    from osm2gtfs_spark.sources.docs import DOCS_SCHEMA, _interleave, _tag_spans
+
+    def doc(doc_id, spans):
+        s = _interleave(doc_id, spans, 2)
+        return (doc_id, [(x["kind"], x["text"], x["media_ref"], x["offset"]) for x in s])
+
+    # ~0.0003 deg lat ≈ 33 m; 0.001 ≈ 111 m
+    rows = [
+        doc("node/1", [("geom", "0.0,0.0")] + _tag_spans({"highway": "bus_stop"})),
+        doc("node/2", [("geom", "0.00030,0.0")] + _tag_spans({"name": "Rua Alfa"})),
+        doc("node/3", [("geom", "0.00005,0.0")] + _tag_spans({"name": "Quick Mart", "highway": "bus_stop"})),  # excluded
+        doc("node/4", [("geom", "2.0,2.0")] + _tag_spans({"highway": "bus_stop"})),  # isolated
+        doc("node/5", [("geom", "0.00010,0.0")] + _tag_spans({"name": "Autobahn", "highway": "trunk"})),  # node trunk NOT excluded (way rule)
+    ]
+    import osm2gtfs_spark.sources.docs as D
+
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    nodes = D.decode_nodes(docs)
+    ways = D.decode_ways(docs)
+    stops = build_stops(nodes, ways, "Parada sin nombre")
+    named = auto_stop_names(stops, nodes, ways, "Parada sin nombre")
+    out = {r["stop_key"]: r["name"] for r in named.collect()}
+    # node/5 (trunk NODE, 11 m) beats node/2 (33 m): the highway
+    # exclusions apply to WAYS; nodes only exclude bus_stop
+    assert out["node/1"] == "Autobahn"
+    assert out["node/4"] == "Parada sin nombre"  # bare, no brackets
