@@ -97,18 +97,18 @@ def build_accra_tables(stops_docs: DataFrame, routes_docs: DataFrame) -> AccraTa
     stops_out = (
         stop_points.join(parent, "stop_key")
         .select(
-            F.col("lon").cast("string").alias("stop_lon"),
+            gtfs.py2_float_str("lon").alias("stop_lon"),
             F.col("name").alias("stop_name"),
-            F.col("lat").cast("string").alias("stop_lat"),
+            gtfs.py2_float_str("lat").alias("stop_lat"),
             "stop_id",
             F.lit("").alias("location_type"),
             "parent_station",
         )
         .unionByName(
             centers.select(
-                F.col("lon").cast("string").alias("stop_lon"),
+                gtfs.py2_float_str("lon").alias("stop_lon"),
                 F.col("name").alias("stop_name"),
-                F.col("lat").cast("string").alias("stop_lat"),
+                gtfs.py2_float_str("lat").alias("stop_lat"),
                 "stop_id",
                 F.lit("1").alias("location_type"),
                 F.lit("").alias("parent_station"),
@@ -192,7 +192,8 @@ def build_accra_tables(stops_docs: DataFrame, routes_docs: DataFrame) -> AccraTa
         F.lit(gtfs.FREQ_START).alias("start_time"),
         F.lit(gtfs.FREQ_END).alias("end_time"),
         (F.col("frequency_min") * 60).cast("string").alias("headway_secs"),
-        F.lit("").alias("exact_times"),
+        # transitfeed writes exact_times=0 for AddFrequency (golden)
+        F.lit("0").alias("exact_times"),
     )
 
     # --- stop_times: distance-weighted interpolation -------------------

@@ -91,18 +91,18 @@ def build_city_tables(
     stops_txt = (
         stops.join(F.broadcast(parent_map), "stop_key", "left")
         .select(
-            F.col("lon").cast("string").alias("stop_lon"),
+            gtfs.py2_float_str("lon").alias("stop_lon"),
             F.col("name").alias("stop_name"),
-            F.col("lat").cast("string").alias("stop_lat"),
+            gtfs.py2_float_str("lat").alias("stop_lat"),
             "stop_id",
             F.lit("0").alias("location_type"),
             F.coalesce("parent_station", F.lit("")).alias("parent_station"),
         )
         .unionByName(
             stations.select(
-                F.col("lon").cast("string").alias("stop_lon"),
+                gtfs.py2_float_str("lon").alias("stop_lon"),
                 F.col("name").alias("stop_name"),
-                F.col("lat").cast("string").alias("stop_lat"),
+                gtfs.py2_float_str("lat").alias("stop_lat"),
                 F.col("station_key").alias("stop_id"),
                 F.lit("1").alias("location_type"),
                 F.lit("").alias("parent_station"),

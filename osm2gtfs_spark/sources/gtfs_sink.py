@@ -173,3 +173,16 @@ def validate_feed(tables) -> DataFrame:
     }
     rows = [(k, df.count()) for k, df in checks.items()]
     return spark.createDataFrame(rows, "check string, n_bad long")
+
+
+def transitfeed_csv_bytes(header: list[str], rows) -> bytes:
+    """Serialize one GTFS member in the exact transitfeed dialect the
+    reference's golden zips use: QUOTE_MINIMAL, CRLF, utf-8."""
+    import csv as _csv
+    import io as _io
+
+    buf = _io.StringIO()
+    w = _csv.writer(buf, lineterminator="\r\n")
+    w.writerow(header)
+    w.writerows(rows)
+    return buf.getvalue().encode("utf-8")
