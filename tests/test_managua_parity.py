@@ -59,3 +59,35 @@ def test_managua_schedule_join(spark, entities):
     n_matched = m.count()
     assert n_matched >= 20, f"expected most refs to match timetable, got {n_matched}"
     assert m.filter(F.col("route_id") == "111").count() == 1
+
+
+def test_managua_pinned_regression(spark):
+    """The Managua golden zip is missing upstream, so the full-pipeline
+    output is pinned as a committed fingerprint (SURVEY §7 step 3:
+    regenerate and pin). Counts corroborated by the reference contract
+    (stops 1450 + stations 547 = 1997 stops.txt rows); any change to
+    join/window/interpolation semantics shows up as a hash drift here."""
+    import hashlib
+    import json
+
+    from osm2gtfs_spark.plans.default_city import build_city_tables
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures_ni_managua_pinned.json")) as f:
+        pin = json.load(f)
+    t = build_city_tables(
+        xml_docs_df(spark, [f"{FX}/overpass-stops.xml"]),
+        xml_docs_df(spark, [f"{FX}/overpass-routes.xml"]),
+        timetable_docs_df(spark, f"{FX}/timetable.json"),
+        name_without="Parada sin nombre",
+        feed_start="20240101",
+        feed_end="20250101",
+    )
+    for name, want in pin.items():
+        df = getattr(t, name)
+        assert df.columns == want["columns"], f"{name}: schema drift"
+        lines = sorted(
+            "|".join("" if v is None else str(v) for v in r) for r in df.collect()
+        )
+        assert len(lines) == want["rows"], f"{name}: row count drift"
+        got = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+        assert got == want["sha256"], f"{name}: value drift"
