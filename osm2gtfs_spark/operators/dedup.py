@@ -84,11 +84,23 @@ def minhash_signature_fast(sh: Column, k: int = 8) -> Column:
     agreement between the families is asserted in tests."""
     init = F.array(*[F.lit((1 << 63) - 1).cast("long") for _ in range(k)])
 
-    def merge(acc: Column, s: Column) -> Column:
-        hashes = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(k)])
-        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+    # Kirsch-Mitzenmacher double hashing: hash each shingle STRING only
+    # twice (a, b), derive the k family members as a + i·b (64-bit wrap).
+    # The transform stage is load-bearing: higher-order lambdas get no
+    # common-subexpression elimination, so inlining xxhash64(s) into the
+    # fold would re-hash the string k times per shingle.
+    ab = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.xxhash64(s).alias("a"), F.xxhash64(s, F.lit(1)).alias("b")
+        ),
+    )
 
-    return F.aggregate(sh, init, merge)
+    def merge(acc: Column, h: Column) -> Column:
+        hashes = F.array(*[h["a"] + F.lit(i).cast("long") * h["b"] for i in range(k)])
+        return F.zip_with(acc, hashes, lambda x, y: F.least(x, y))
+
+    return F.aggregate(ab, init, merge)
 
 
 def minhash_bands_fast(doc_id: str, text_col: str, docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFrame:
