@@ -767,11 +767,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(q, emb, dim=64, k=5).select("query_id", "neighbor_id", "rank")
 
 
-@register("embedding_near_dup")  # rows-only
+@register(
+    "embedding_near_dup",
+    """
+    -- planted-duplicate design: the synthetic embeddings have no true
+    -- near-dups (max pairwise cosine 0.51), so 20 exact copies are
+    -- planted at vec_id+10000; the engine must recover EXACTLY those
+    -- pairs via hyperplane-LSH buckets + cosine threshold (copies agree
+    -- in every bucket table up to ~1e-15 miss probability).
+    SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (threshold 0.9)."""
-    emb = tpch.load(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup(emb, dim=64, threshold=0.9).select("id_a", "id_b")
+    """Embedding-cosine near-dup via LSH buckets, oracle-checked on a
+    planted-duplicate corpus (threshold 0.99 ≫ the 0.51 background)."""
+    emb = tpch.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return SIM.embedding_near_dup(corpus, dim=64, threshold=0.99).select(
+        "id_a", "id_b"
+    )
 
 
 @register("media_decode_meta")  # rows-only: mapInPandas plumbing
