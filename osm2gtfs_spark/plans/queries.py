@@ -73,9 +73,11 @@ def oracle_sql() -> dict[str, str]:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT))        AS sum_qty_x100,
-           SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))   AS sum_base_cents,
-           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_qty_x100,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                                                                  AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
                                                                   AS sum_disc_cents,
            COUNT(*) AS count_order
     FROM lineitem
@@ -932,7 +934,7 @@ def exception_date_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_agg",
     """
     SELECT l_returnflag,
-           SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_x100,
+           CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
            COUNT(*) AS row_cnt
     FROM lineitem
     GROUP BY l_returnflag
