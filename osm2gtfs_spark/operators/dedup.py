@@ -175,29 +175,39 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, doc_id: str = "doc_id", tex
 def simhash64(text_col) -> Column:
     """64-bit SimHash from xxhash64 token hashes (engine-side only).
 
-    Per-bit majority vote over token hashes, vectorized as 64 parallel
-    aggregations of ±1 contributions folded with array arithmetic. Used
-    for near-dup banding by hamming distance; verified in tests against
-    a pandas brute-force oracle (no SQL oracle — xxhash64 is
-    Spark-specific)."""
+    Per-bit majority vote over token hashes. ONE fold over the token
+    array carrying a 64-wide counter accumulator (same scale pattern as
+    :func:`minhash_signature_fast`): each token hash contributes ±1 to
+    all 64 counters in a single ``zip_with``, so the array is traversed
+    once — not 64 times as the naive per-bit-aggregate formulation
+    would (higher-order lambdas get no common-subexpression
+    elimination). Verified in tests against a pandas brute-force oracle
+    and gate-checked via planted exact duplicates (hamming 0)."""
     toks = F.array_distinct(F.split(text_col, " ", -1))
     th = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def _vote(bit: int):
-        # two-arg merge lambda only: PySpark dispatches on lambda arity,
-        # so the bit index must be captured by this enclosing function
-        def merge(acc, h):
-            return acc + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    # bit-weight constants; shiftleft wraps bit 63 into the long sign
+    # bit (a 2**63 literal would overflow signed long)
+    weights = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)])
 
-        return F.aggregate(th, F.lit(0), merge)
-
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        # shiftleft wraps bit 63 into the long sign bit (2**63 would
-        # overflow a literal); bitwiseOR assembles the fingerprint
-        weight = F.shiftleft(F.lit(1).cast("long"), i)
-        out = out.bitwiseOR(F.when(_vote(i) > 0, weight).otherwise(F.lit(0).cast("long")))
-    return out
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            weights,
+            lambda a, w: a + F.when(h.bitwiseAND(w) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a.bitwiseOR(b),
+    )
 
 
 def exact_dedup(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text") -> DataFrame:

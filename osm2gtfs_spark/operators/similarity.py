@@ -74,19 +74,30 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """(id, table, bucket): sign-pattern LSH bucket per hash table."""
-    out = None
-    for t in range(n_tables):
+    """(id, table, bucket): sign-pattern LSH bucket per hash table.
+
+    All n_tables buckets are emitted from ONE projection over the input
+    (array<struct<table,bucket>> + posexplode) — the naive
+    one-select-per-table union would rescan ``vectors`` n_tables times
+    in a single DAG."""
+
+    def bucket_expr(t: int):
         planes = _planes(dim, n_planes, t, seed)
         bucket = F.lit(0).cast("long")
         for p in range(n_planes):
             plane = F.array(*[F.lit(float(x)) for x in planes[p]])
             bucket = bucket + F.when(dot(F.col(vec_col), plane) > 0, F.lit(2**p)).otherwise(0)
-        part = vectors.select(
-            F.col(id_col), F.lit(t).alias("table"), bucket.alias("bucket")
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+        return bucket
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).cast("int").alias("table"), bucket_expr(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return vectors.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.table").alias("table"), F.col("e.bucket").alias("bucket")
+    )
 
 
 def cosine_topk_lsh(

@@ -487,28 +487,60 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard(pairs, docs)
 
 
-@register("simhash_near_dup")  # rows-only: xxhash64 is Spark-specific
+@register(
+    "simhash_near_dup",
+    """
+    -- oracle computes the verify-stage truth directly: pairs of docs
+    -- with identical distinct-token SETS. SimHash is the engine-side
+    -- candidate generator: equal token sets => equal simhash => equal
+    -- bands, so banding recall of these pairs is exact (not
+    -- probabilistic); the band join only prunes the non-equal pairs.
+    WITH s AS (SELECT doc_id,
+                      list_sort(list_distinct(string_split(text, ' '))) AS ts
+               FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM s a JOIN s b ON a.ts = b.ts AND a.doc_id < b.doc_id
+    """,
+)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) banding: near-dup candidates by 16-bit band collision.
+    """SimHash(64) banding + exact token-set verify.
 
-    No SQL oracle (xxhash64); validated in tests against a pandas
-    brute-force hamming-distance oracle."""
+    Pipeline shape mirrors minhash→jaccard: the cheap fingerprint index
+    (4 bands of 16 bits) generates candidates — only band collisions
+    shuffle, never all pairs — and an exact verifier keeps true dups.
+    The verify predicate is distinct-token-set equality, which the
+    SimHash construction preserves exactly (order/multiplicity are
+    discarded before hashing), making the oracle SQL-expressible.
+    Hamming-threshold variants (near-dups) are covered by the pandas
+    brute-force oracle in tests/test_dedup_similarity.py."""
     docs = tpch.load(spark, sf_dir, "documents")
     sh = docs.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
     bands = sh.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(*[(F.shiftrightunsigned("simhash", i * 16) % F.lit(65536)).cast("long") for i in range(4)])
         ).alias("band_idx", "band_val"),
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
-    return (
+    cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    # verify stage: exact distinct-token-set equality, joined onto the
+    # candidate ids only (token arrays never ride through the band
+    # shuffle — same shape as the minhash→jaccard verifier)
+    ts = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " ", -1))).alias("ts"),
+    )
+    return (
+        cand.join(ts.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
+        .join(ts.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
+        .filter(F.col("ts_a") == F.col("ts_b"))
+        .select("doc_a", "doc_b")
     )
 
 
@@ -761,12 +793,57 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_bruteforce(q, emb, k=5)
 
 
-@register("ann_lsh_topk")  # rows-only: recall asserted in tests
+_PLANT_RANK_SQL = """
+    -- planted-ranking design: the synthetic corpus has no true near
+    -- neighbors (max background cosine 0.51), so for each query q
+    -- (vec_id < 20) five perturbed copies are planted at vec_id +
+    -- 10000·j, j=1..5: copy_j = (1-0.02j)·q + 0.02j·r where r is the
+    -- corpus vector vec_id+100. Linear interpolation toward r makes
+    -- the angle to q strictly increasing in j, so the true top-5 (and
+    -- its order) is the planted list — which is this oracle.
+    SELECT e.vec_id AS query_id,
+           e.vec_id + 10000 * j.j AS neighbor_id,
+           j.j AS rank
+    FROM embeddings e CROSS JOIN (SELECT UNNEST([1,2,3,4,5]) AS j) j
+    WHERE e.vec_id < 20
+"""
+
+
+def _plant_ranked_neighbors(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ 5 perturbed copies per query vector (see _PLANT_RANK_SQL)."""
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_vec")
+    )
+    r = emb.select((F.col("vec_id") - 100).alias("qid"), F.col("embedding").alias("r_vec"))
+    planted = (
+        q.join(r, "qid")
+        .select("qid", "q_vec", "r_vec", F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("j"))
+        .select(
+            (F.col("qid") + F.col("j") * 10000).alias("vec_id"),
+            F.transform(
+                F.zip_with(
+                    "q_vec",
+                    "r_vec",
+                    lambda a, b: (1.0 - 0.02 * F.col("j")) * a + 0.02 * F.col("j") * b,
+                ),
+                lambda v: v.cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+@register("ann_lsh_topk", _PLANT_RANK_SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 (multi-table bucket join)."""
+    """Hyperplane-LSH approximate top-5 (multi-table bucket join),
+    oracle-checked on a planted-ranking corpus: the engine must recover
+    the five planted perturbed copies per query in cosine order. Recall
+    vs brute force on the raw corpus is additionally asserted in
+    tests/test_dedup_similarity.py."""
     emb = tpch.load(spark, sf_dir, "embeddings")
+    corpus = _plant_ranked_neighbors(emb)
     q = emb.filter(F.col("vec_id") < 20)
-    return SIM.cosine_topk_lsh(q, emb, dim=64, k=5).select("query_id", "neighbor_id", "rank")
+    return SIM.cosine_topk_lsh(q, corpus, dim=64, k=5).select("query_id", "neighbor_id", "rank")
 
 
 @register(
@@ -794,10 +871,28 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_decode_meta")  # rows-only: mapInPandas plumbing
+@register(
+    "media_decode_meta",
+    """
+    -- the fake decoder derives dims from md5(media_ref) digest bytes:
+    -- width = 64 + byte0 % 192, height = 64 + byte1 % 192,
+    -- n_frames = 1 + byte2 % 30 — pure byte math, reproduced here via
+    -- hex-literal casts of the md5 hex pairs.
+    WITH m AS (SELECT concat('doc/', CAST(doc_id AS VARCHAR)) AS doc_id,
+                      concat('media://', md5(text)) AS media_ref
+               FROM documents)
+    SELECT doc_id, media_ref,
+           64 + CAST(concat('0x', substr(md5(media_ref), 1, 2)) AS INT) % 192 AS width,
+           64 + CAST(concat('0x', substr(md5(media_ref), 3, 2)) AS INT) % 192 AS height,
+           1  + CAST(concat('0x', substr(md5(media_ref), 5, 2)) AS INT) % 30  AS n_frames
+    FROM m
+    """,
+)
 def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize media refs for documents, decode
-    via mapInPandas (deterministic fake), project typed metadata."""
+    via mapInPandas (deterministic fake), project typed metadata. The
+    fake dims are md5-byte arithmetic, so the oracle reproduces them in
+    SQL — the gate checks the mapInPandas path end-to-end."""
     d = tpch.load(spark, sf_dir, "documents")
     media = d.select(
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("doc_id"),
@@ -1048,16 +1143,19 @@ def opening_hours_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # rows-only: k-means floats are engine-specific;
+@register("ann_ivf_topk", _PLANT_RANK_SQL)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the coarse-quantizer scale path: the
     corpus is partitioned into cells by a deterministic k-means; each
     query probes its nprobe nearest cells (equi join on cell, no cross
-    join). Exactness at nprobe=n_cells and recall monotonicity are
-    asserted in tests/test_dedup_similarity.py."""
+    join). Oracle-checked on the same planted-ranking corpus as
+    ann_lsh_topk (the planted copies sit ~0.1 rad from their query, so
+    they land in the query's probed cells). Exactness at nprobe=n_cells
+    and recall monotonicity are asserted in tests/test_dedup_similarity.py."""
     emb = tpch.load(spark, sf_dir, "embeddings")
-    cents = SIM.ivf_centroids(emb, n_cells=8, iters=3)
+    corpus = _plant_ranked_neighbors(emb)
+    cents = SIM.ivf_centroids(corpus, n_cells=8, iters=3)
     q = emb.filter(F.col("vec_id") < 20)
-    return SIM.cosine_topk_ivf(q, emb, cents, k=5, nprobe=3).select(
+    return SIM.cosine_topk_ivf(q, corpus, cents, k=5, nprobe=3).select(
         "query_id", "neighbor_id", "rank"
     )
