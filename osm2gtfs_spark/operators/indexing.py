@@ -1,0 +1,77 @@
+"""Scale-safe global row indexing (deterministic id assignment).
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY funnels the
+entire table through one task — fine for bounded dims, fatal for
+row-scale tables (trips = itineraries × services × time-rows). The
+reference assigns ids by driver-side insertion order
+(transitfeed Schedule.AddTripObject auto-increment); we reproduce the
+same total order distributedly in two phases:
+
+1. partition-local ``row_number`` within a *bucket* (the leading prefix
+   of the ordering, e.g. route_id) — parallel across buckets;
+2. a running offset per bucket, computed by a window over the
+   bucket-count aggregate — one narrow row per bucket, so the single
+   required SinglePartition exchange only ever sees the aggregate,
+   never the row-scale table.
+
+The result is bit-identical to the naive global window whenever the
+ordering key is unique (ties keep the same arbitrary-within-group
+freedom both formulations have).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "gidx",
+    bucket_cols: list[str] | None = None,
+    start: int = 1,
+) -> DataFrame:
+    """Add ``out_col`` = global 1-based (or ``start``-based) row index
+    under ``ORDER BY order_cols``, without a single-partition window
+    over the data.
+
+    ``bucket_cols`` must be a leading prefix of ``order_cols`` (or a
+    monotone coarsening of it, e.g. a string prefix of the first
+    ordering column added by the caller): ordering rows by
+    (bucket, order_cols-within-bucket) must equal ordering by
+    ``order_cols``. Defaults to the first ordering column.
+
+    Shuffle shape: one hash exchange on ``bucket_cols`` for the local
+    window, one for the count aggregate (AQE-broadcast back), and a
+    SinglePartition exchange over *one row per bucket* for the running
+    offset. Null bucket keys are handled (null-safe join).
+    """
+    bucket_cols = list(bucket_cols or order_cols[:1])
+    local_w = Window.partitionBy(*bucket_cols).orderBy(*[F.col(c) for c in order_cols])
+
+    counts = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    off_w = Window.orderBy(*[F.col(c) for c in bucket_cols]).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_bucket_n").over(off_w), F.lit(0).cast("long"))
+    ).drop("_bucket_n")
+    for c in bucket_cols:
+        offsets = offsets.withColumnRenamed(c, f"_b_{c}")
+
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_b_{c}")) for c in bucket_cols],
+    )
+    return (
+        df.join(offsets, cond)
+        .drop(*[f"_b_{c}" for c in bucket_cols])
+        .withColumn(
+            out_col,
+            F.row_number().over(local_w) + F.col("_offset") + F.lit(start - 1),
+        )
+        .drop("_offset")
+    )

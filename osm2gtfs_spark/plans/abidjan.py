@@ -43,6 +43,7 @@ from osm2gtfs_spark.functions.opening_hours import (
     DEFAULT_OPENING_HOURS,
     oh_windows,
 )
+from osm2gtfs_spark.operators.indexing import global_index
 from osm2gtfs_spark.plans import gtfs
 from osm2gtfs_spark.sources import docs as docs_mod
 
@@ -243,10 +244,16 @@ def build_abidjan_tables(
             "itinerary_osm_id",
         )
     )
-    trip_order = Window.orderBy("l_ref", "seq", "itinerary_osm_id", "svc_pos")
     dir_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id", "svc_pos")
     trips_full = (
-        trip_keys.withColumn("trip_id", (F.row_number().over(trip_order) - 1).cast("string"))
+        global_index(
+            trip_keys,
+            ["l_ref", "seq", "itinerary_osm_id", "svc_pos"],
+            "_trip_idx",
+            start=0,
+        )
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
+        .drop("_trip_idx")
         .withColumn("direction_id", (F.row_number().over(dir_order) - 1) % 2)
         .withColumn(
             "duration_min",

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from osm2gtfs_spark.operators.indexing import global_index
 from osm2gtfs_spark.operators.spatial import cluster_stops_greedy
 from osm2gtfs_spark.plans import gtfs
 from osm2gtfs_spark.sources import docs as docs_mod
@@ -144,16 +145,20 @@ def build_accra_tables(stops_docs: DataFrame, routes_docs: DataFrame) -> AccraTa
     )
 
     # --- trips: transitfeed insertion order = sorted(ref) then member --
-    trip_order = Window.orderBy(F.col("l_ref").asc(), F.col("seq").asc(), F.col("itinerary_osm_id").asc())
     itin_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id")
     line_dim = F.broadcast(
         lines.select("line_osm_id", F.col("route_id").alias("l_ref"), F.col("tags").alias("line_tags"))
     )
     trips_full = (
-        itins.drop("route_id")
-        .join(line_dim, "line_osm_id")
+        global_index(
+            itins.drop("route_id").join(line_dim, "line_osm_id"),
+            ["l_ref", "seq", "itinerary_osm_id"],
+            "_trip_idx",
+            start=0,
+        )
         .withColumn("direction_id", (F.row_number().over(itin_order) - 1) % 2)
-        .withColumn("trip_id", (F.row_number().over(trip_order) - 1).cast("string"))
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
+        .drop("_trip_idx")
         .withColumn(
             "frequency_min",
             F.coalesce(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from osm2gtfs_spark.functions.colors import contrast_text_colour, normalize_colour
+from osm2gtfs_spark.operators.indexing import global_index
 from osm2gtfs_spark.plans import gtfs
 from osm2gtfs_spark.plans import schedule_path as SP
 from osm2gtfs_spark.sources import docs as docs_mod
@@ -162,19 +163,24 @@ def build_city_tables(
     aligned = SP.align_stops(itin_stops_named, per_service)
     filled = SP.interpolate_times_distance(aligned, stops.select("stop_key", "lat", "lon"))
 
-    trip_order = Window.orderBy("route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq")
     trips_full = (
-        per_service.select(
-            "itinerary_osm_id",
-            "service",
-            "route_id",
-            "to",
-            "itinerary_id",
-            "seq",
-            "svc_order",
-            F.posexplode("times").alias("trip_seq", "_t"),
+        global_index(
+            per_service.select(
+                "itinerary_osm_id",
+                "service",
+                "route_id",
+                "to",
+                "itinerary_id",
+                "seq",
+                "svc_order",
+                F.posexplode("times").alias("trip_seq", "_t"),
+            ),
+            ["route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"],
+            "_trip_idx",
+            start=0,
         )
-        .withColumn("trip_id", (F.row_number().over(trip_order) - 1).cast("string"))
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
+        .drop("_trip_idx")
         .cache()
     )
     trips_txt = trips_full.select(

@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from osm2gtfs_spark.operators.indexing import global_index
 from osm2gtfs_spark.plans import gtfs
 from osm2gtfs_spark.sources import docs as docs_mod
 from osm2gtfs_spark.sources import fenix as fx
@@ -118,10 +119,20 @@ def build_florianopolis_tables(
             "inner",
         )
         .filter(F.col("duration_secs").isNotNull())
-        .withColumn(
-            "gtfs_route_id",
-            (F.row_number().over(Window.orderBy("route_id")) - 1).cast("string"),
+    )
+    # dense 0-based route index; bucketed by a 2-char prefix of the ref
+    # (monotone coarsening of the ordering) so no full-table
+    # single-partition window is needed even at corpus-scale route counts
+    sel = (
+        global_index(
+            sel.withColumn("_bkt", F.substring("route_id", 1, 2)),
+            ["_bkt", "route_id"],
+            "_route_idx",
+            bucket_cols=["_bkt"],
+            start=0,
         )
+        .withColumn("gtfs_route_id", F.col("_route_idx").cast("string"))
+        .drop("_bkt", "_route_idx")
         .cache()
     )
     routes = sel.select(
@@ -241,22 +252,17 @@ def build_florianopolis_tables(
         F.count_distinct("saida").alias("n_saidas")
     )
     trips_full = (
-        groups.join(
-            fen_deps.select("ref", "day_kind", "saida", "grp", "pt", "dep_secs"),
-            ["ref", "day_kind", "saida"],
+        global_index(
+            groups.join(
+                fen_deps.select("ref", "day_kind", "saida", "grp", "pt", "dep_secs"),
+                ["ref", "day_kind", "saida"],
+            ).join(F.broadcast(n_saidas), ["ref", "day_kind"]),
+            ["ref", "day_order2", "seq", "itinerary_osm_id", "grp", "pt"],
+            "_trip_idx",
+            start=0,
         )
-        .join(F.broadcast(n_saidas), ["ref", "day_kind"])
-        .withColumn(
-            "trip_id",
-            (
-                F.row_number().over(
-                    Window.orderBy(
-                        "ref", "day_order2", "seq", "itinerary_osm_id", "grp", "pt"
-                    )
-                )
-                - 1
-            ).cast("string"),
-        )
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
+        .drop("_trip_idx")
         .withColumn(
             "factor",
             F.when(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
+from osm2gtfs_spark.operators.indexing import global_index
 from osm2gtfs_spark.functions.geo import (
     centroid_lat,
     centroid_lon,
@@ -422,15 +423,18 @@ def build_trips(lines: DataFrame, itineraries: DataFrame) -> DataFrame:
     prune passes all consume it.
     """
     itin_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id")
-    global_order = Window.orderBy("route_id", "seq", "itinerary_osm_id")
     line_dim = F.broadcast(
         lines.select("line_osm_id", "route_id", "route_type", F.col("tags").alias("line_tags"))
     )
     trips = (
-        itineraries.drop("route_id")
-        .join(line_dim, "line_osm_id")
+        global_index(
+            itineraries.drop("route_id").join(line_dim, "line_osm_id"),
+            ["route_id", "seq", "itinerary_osm_id"],
+            "_trip_idx",
+        )
         .withColumn("direction_id", (F.row_number().over(itin_order) - 1) % 2)
-        .withColumn("trip_id", F.row_number().over(global_order).cast("string"))
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
+        .drop("_trip_idx")
         .withColumn(
             "frequency_min",
             F.coalesce(

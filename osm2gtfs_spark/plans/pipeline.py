@@ -13,6 +13,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from osm2gtfs_spark.operators.indexing import global_index
 from osm2gtfs_spark.plans import gtfs
 from osm2gtfs_spark.sources import docs as docs_mod
 
@@ -234,22 +235,25 @@ def run_schedule_pipeline(
     filled = SP.interpolate_times_distance(aligned, stops.select("stop_key", "lat", "lon"))
 
     # O5: reference insertion order = lines sorted by ref, itineraries in
-    # member order, services in first-occurrence order, then time rows
-    trip_order = Window.orderBy(
-        "route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"
-    )
+    # member order, services in first-occurrence order, then time rows;
+    # two-phase global index (bucketed by route_id) — no single-partition
+    # window over the trip rows
     trips_full = (
-        per_service.select(
-            "itinerary_osm_id",
-            "service",
-            "route_id",
-            "to",
-            "itinerary_id",
-            "seq",
-            "svc_order",
-            F.posexplode("times").alias("trip_seq", "_times"),
+        global_index(
+            per_service.select(
+                "itinerary_osm_id",
+                "service",
+                "route_id",
+                "to",
+                "itinerary_id",
+                "seq",
+                "svc_order",
+                F.posexplode("times").alias("trip_seq", "_times"),
+            ),
+            ["route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"],
+            "_trip_idx",
         )
-        .withColumn("trip_id", F.row_number().over(trip_order).cast("string"))
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
         .select(
             "trip_id",
             "route_id",
