@@ -295,7 +295,7 @@ def build_abidjan_tables(
     st = (
         trips_full.select("trip_id", "itinerary_osm_id", "duration_min")
         .join(itin_stops, "itinerary_osm_id")
-        .join(F.broadcast(stops.select("stop_key", "stop_id", "lat", "lon")), "stop_key")
+        .join(stops.select("stop_key", "stop_id", "lat", "lon"), "stop_key")
     )
     w_seq = Window.partitionBy("trip_id").orderBy("pos")
     w_all = Window.partitionBy("trip_id")

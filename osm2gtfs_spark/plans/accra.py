@@ -206,7 +206,7 @@ def build_accra_tables(stops_docs: DataFrame, routes_docs: DataFrame) -> AccraTa
     st = (
         trips_full.select("trip_id", "itinerary_osm_id", "travel_min")
         .join(itin_stops, "itinerary_osm_id")
-        .join(F.broadcast(stop_points.select("stop_key", "stop_id", "lat", "lon")), "stop_key")
+        .join(stop_points.select("stop_key", "stop_id", "lat", "lon"), "stop_key")
     )
     w_seq = Window.partitionBy("trip_id").orderBy("pos")
     w_all = Window.partitionBy("trip_id")

@@ -146,7 +146,7 @@ def build_city_tables(
 
     itin_stops_named = (
         gtfs.itinerary_stops(rels_r)
-        .join(F.broadcast(stops.select("stop_key", "name")), "stop_key", "left")
+        .join(stops.select("stop_key", "name"), "stop_key", "left")
         .join(F.broadcast(parent_map), "stop_key", "left")
         .join(
             F.broadcast(
@@ -197,7 +197,7 @@ def build_city_tables(
             ["itinerary_osm_id", "service", "trip_seq"],
         )
         .filter(F.col("time_secs_filled").isNotNull())
-        .join(F.broadcast(stops.select("stop_key", "stop_id")), "stop_key")
+        .join(stops.select("stop_key", "stop_id"), "stop_key")
         .select(
             "trip_id",
             gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("arrival_time"),

@@ -372,7 +372,7 @@ def build_florianopolis_tables(
     # fails → those times stay EMPTY in the golden (helper.py:56-68
     # swallows the error).
     resolved = itin_stops.join(
-        F.broadcast(stops.select("stop_key", "stop_id", "lat", "lon")), "stop_key"
+        stops.select("stop_key", "stop_id", "lat", "lon"), "stop_key"
     )
     bounds = (
         itin_stops.groupBy("itinerary_osm_id")

@@ -212,7 +212,7 @@ def run_schedule_pipeline(
 
     # stop rows with name + parent-station name (J7 fallback input)
     itin_stops_named = (
-        itin_stops.join(F.broadcast(stops.select("stop_key", "name")), "stop_key", "left")
+        itin_stops.join(stops.select("stop_key", "name"), "stop_key", "left")
         .join(F.broadcast(parent_map), "stop_key", "left")
         .join(
             F.broadcast(

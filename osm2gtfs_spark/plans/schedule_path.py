@@ -61,8 +61,10 @@ def match_schedule(itineraries: DataFrame, schedule_trips: DataFrame) -> DataFra
         "times",
         "row_idx",
     )
+    # no broadcast hint: the schedule table scales with the corpus; AQE
+    # broadcasts it when it actually fits (policy: hints only on bounded dims)
     j = itineraries.join(
-        F.broadcast(sched),
+        sched,
         (F.col("route_id") == F.col("route_ref"))
         & (F.col("fr") == F.col("s_fr"))
         & (F.col("to") == F.col("s_to"))
@@ -206,14 +208,13 @@ def align_stops(
     service) schedule rows → raw (possibly untimed) stop_time rows.
 
     ``itin_stops_named`` needs (itinerary_osm_id, pos, stop_key, name,
-    parent_name). The schedule arrays are group-constant and small
-    (station names + time matrix), so attaching them to each stop row
-    via a broadcast join costs little and keeps the kernel a plain
-    grouped applyInPandas (group sizes bounded by stops/itinerary)."""
+    parent_name). The schedule arrays are group-constant, so attaching
+    them to each stop row keeps the kernel a plain grouped
+    applyInPandas (group sizes bounded by stops/itinerary). No
+    broadcast hint — per_service scales with the corpus; AQE
+    broadcasts it when it fits."""
     joined = itin_stops_named.join(
-        F.broadcast(
-            per_service.select("itinerary_osm_id", "service", "stations", "times")
-        ),
+        per_service.select("itinerary_osm_id", "service", "stations", "times"),
         "itinerary_osm_id",
     )
     return joined.groupBy("itinerary_osm_id", "service").applyInPandas(
@@ -237,7 +238,7 @@ def interpolate_times_distance(aligned: DataFrame, stop_coords: DataFrame) -> Da
     w_back = Window.partitionBy(*key).orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     w_fwd = Window.partitionBy(*key).orderBy("pos").rowsBetween(0, Window.unboundedFollowing)
     df = (
-        aligned.join(F.broadcast(stop_coords), "stop_key")
+        aligned.join(stop_coords, "stop_key")
         .withColumn("_plat", F.lag("lat").over(w_seq))
         .withColumn("_plon", F.lag("lon").over(w_seq))
         .withColumn(
