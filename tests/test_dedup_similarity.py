@@ -154,3 +154,69 @@ def test_ivf_cells_cover_corpus(spark, sf_dir):
     assigned = S.ivf_assign(emb, cents)
     assert assigned.count() == emb.count()  # partition, not a filter
     assert assigned.filter((F.col("cell") < 0) | (F.col("cell") >= 8)).count() == 0
+
+
+def _png_bytes(w, h):
+    import struct, zlib
+    def chunk(typ, data):
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (3 * w) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", __import__("zlib").compress(raw)) + chunk(b"IEND", b""))
+
+
+def _gif_bytes(w, h, frames):
+    import struct
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80, 0, 0]) + b"\x00\x00\x00\xff\xff\xff"
+    for _ in range(frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02" + bytes([2, 0x4C, 0x01]) + b"\x00"  # minimal LZW data
+    return out + b"\x3b"
+
+
+def _jpeg_bytes(w, h):
+    import struct
+    sof0 = struct.pack(">HBHHB", 8 + 3 * 1, 8, h, w, 1) + b"\x01\x11\x00"
+    return (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + sof0 + b"\xff\xd9")
+
+
+def _wav_bytes(n_frames, channels=2, bits=16, rate=8000):
+    import io, wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(bits // 8)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x00" * (n_frames * channels * (bits // 8)))
+    return buf.getvalue()
+
+
+def test_media_real_decode(spark):
+    """fake=False parses REAL bytes: PNG/GIF/JPEG/BMP/WAV header decode."""
+    import struct
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 33, -44) + b"\x00" * 20
+    rows = [
+        ("d1", "a.png", bytearray(_png_bytes(320, 200))),
+        ("d2", "b.gif", bytearray(_gif_bytes(64, 48, 3))),
+        ("d3", "c.jpg", bytearray(_jpeg_bytes(123, 77))),
+        ("d4", "d.bmp", bytearray(bmp)),
+        ("d5", "e.wav", bytearray(_wav_bytes(1000))),
+        ("d6", "f.bin", bytearray(b"\x00\x01garbage")),
+        ("d7", "g.nul", None),
+    ]
+    media = spark.createDataFrame(rows, "doc_id string, media_ref string, media_blob binary")
+    got = {r.media_ref: (r.width, r.height, r.n_frames) for r in MM.decode_media(media, fake=False).collect()}
+    assert got["a.png"] == (320, 200, 1)
+    assert got["b.gif"] == (64, 48, 3)
+    assert got["c.jpg"] == (123, 77, 1)
+    assert got["d.bmp"] == (33, 44, 1)
+    assert got["e.wav"] == (2, 16, 1000)  # channels, bits, sample frames
+    assert got["f.bin"] == (None, None, None)
+    assert got["g.nul"] == (None, None, None)
+    # features are content-derived byte histograms that sum to ~1
+    feats = {r.media_ref: r.features for r in MM.decode_media(media, fake=False).collect()}
+    assert abs(sum(feats["a.png"]) - 1.0) < 1e-5
+    assert len(feats["g.nul"]) == MM.FEATURE_DIM
