@@ -20,7 +20,7 @@ import shutil
 import tempfile
 import zipfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # column order observed in the reference's golden zips (FIXTURES.md §5)
@@ -151,26 +151,112 @@ def write_gtfs_zip(tables, zip_path: str, agency: dict | None = None) -> str:
     return zip_path
 
 
-def validate_feed(tables) -> DataFrame:
-    """S9: assertion checks → DataFrame(check string, n_bad long)."""
-    spark = tables.trips.sparkSession
-    st = tables.stop_times.withColumnRenamed("stop_key", "stop_id")
-    all_stop_ids = tables.stops.select(F.col("stop_key").alias("stop_id")).unionByName(
-        tables.stations.select(F.col("station_key").alias("stop_id"))
+def _gtfs_time_secs(col):
+    """'H+:MM:SS' → seconds (hours may exceed 24); empty/invalid → NULL."""
+    ok = col.rlike(r"^\d+:\d{2}:\d{2}$")
+    p = F.split(col, ":")
+    return F.when(
+        ok,
+        p[0].cast("long") * 3600 + p[1].cast("long") * 60 + p[2].cast("long"),
     )
+
+
+def validate_feed(tables) -> DataFrame:
+    """S9: assertion checks → DataFrame(check string, n_bad long).
+
+    Mirrors the transitfeed ``feed.Validate`` surface the reference runs
+    (osm2gtfs/osm2gtfs.py:90): referential integrity (stop_times→trips/
+    stops, trips→routes/calendar/shapes), time format, arrival≤departure
+    and intra-trip time monotonicity (transitfeed ValidateStopTimes),
+    stop_sequence density, calendar date formats/ranges, duplicate-stop
+    warnings (~1 m co-located same-name points), and positive headways.
+    Violations come back as (check, n_bad) rows, not exceptions, so
+    callers can route them to a metrics sink. Tables beyond the core
+    four (stations, calendar_dates, frequencies, shapes) are optional.
+    """
+    spark = tables.trips.sparkSession
+    st = tables.stop_times
+    if "stop_key" in st.columns:
+        st = st.withColumnRenamed("stop_key", "stop_id")
+    stops = tables.stops
+    stop_ids = (
+        stops.select(F.col("stop_key").alias("stop_id"))
+        if "stop_key" in stops.columns
+        else stops.select("stop_id")
+    )
+    stations = getattr(tables, "stations", None)
+    if stations is not None:
+        stop_ids = stop_ids.unionByName(stations.select(F.col("station_key").alias("stop_id")))
+
+    arr = _gtfs_time_secs(F.col("arrival_time"))
+    dep = _gtfs_time_secs(F.col("departure_time"))
+    timed = st.select("trip_id", F.col("stop_sequence").cast("long").alias("seq"), arr.alias("a"), dep.alias("d"))
+    w_trip = Window.partitionBy("trip_id").orderBy("seq")
+    prev_dep = F.last("d", ignorenulls=True).over(
+        w_trip.rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    name_col = "name" if "name" in stops.columns else "stop_name"
+    lat_col = "lat" if "lat" in stops.columns else "stop_lat"
+    lon_col = "lon" if "lon" in stops.columns else "stop_lon"
+
     checks = {
         "stop_times_fk_trip": st.join(tables.trips, "trip_id", "left_anti"),
-        "stop_times_fk_stop": st.join(all_stop_ids, "stop_id", "left_anti"),
+        "stop_times_fk_stop": st.join(stop_ids, "stop_id", "left_anti"),
         "trips_fk_route": tables.trips.join(tables.routes, "route_id", "left_anti"),
-        "trips_fk_service": tables.trips.join(tables.calendar, tables.trips.service_id == tables.calendar.service_id, "left_anti"),
         "bad_time_format": st.filter(
-            ~F.col("arrival_time").rlike(r"^\d{2,}:\d{2}:\d{2}$")
+            (F.col("arrival_time") != "") & ~F.col("arrival_time").rlike(r"^\d+:\d{2}:\d{2}$")
         ),
-        "bad_stop_sequence": st.groupBy("trip_id").agg(
-            (F.count(F.lit(1)) != F.max("stop_sequence")).alias("bad")
-        ).filter("bad"),
-        "empty_stop_name": tables.stops.filter((F.col("name").isNull()) | (F.col("name") == "")),
+        "arrival_after_departure": timed.filter(F.col("a") > F.col("d")),
+        # transitfeed: each timed stop must not precede the last timed
+        # departure earlier in the trip (untimed interior rows skipped)
+        "time_travel_in_trip": timed.withColumn("_pd", prev_dep).filter(
+            F.col("a").isNotNull() & (F.col("_pd") > F.col("a"))
+        ),
+        "bad_stop_sequence": st.groupBy("trip_id")
+        .agg(
+            (
+                (F.count(F.lit(1)) != F.count_distinct(F.col("stop_sequence").cast("long")))
+                | (F.min(F.col("stop_sequence").cast("long")) < 1)
+            ).alias("bad")
+        )
+        .filter("bad"),
+        "empty_stop_name": stops.filter(
+            (F.col(name_col).isNull()) | (F.col(name_col) == "")
+        ),
+        "duplicate_stops": stops.groupBy(
+            F.col(name_col),
+            F.round(F.col(lat_col).cast("double"), 5),
+            F.round(F.col(lon_col).cast("double"), 5),
+        )
+        .count()
+        .filter(F.col("count") > 1),
     }
+    calendar = getattr(tables, "calendar", None)
+    if calendar is not None:
+        checks["trips_fk_service"] = tables.trips.join(
+            calendar, tables.trips.service_id == calendar.service_id, "left_anti"
+        )
+        checks["bad_calendar_date"] = calendar.filter(
+            ~F.col("start_date").rlike(r"^\d{8}$")
+            | ~F.col("end_date").rlike(r"^\d{8}$")
+            | (F.col("end_date") < F.col("start_date"))
+        )
+    shapes = getattr(tables, "shapes", None)
+    if shapes is not None and "shape_id" in tables.trips.columns:
+        checks["trips_fk_shape"] = (
+            tables.trips.filter(F.col("shape_id").isNotNull() & (F.col("shape_id") != ""))
+            .join(shapes.select("shape_id").distinct(), "shape_id", "left_anti")
+        )
+    cal_dates = getattr(tables, "calendar_dates", None)
+    if cal_dates is not None:
+        checks["bad_exception_date"] = cal_dates.filter(
+            ~F.col("date").rlike(r"^\d{8}$")
+            | ~F.col("exception_type").cast("string").isin("1", "2")
+        )
+    freqs = getattr(tables, "frequencies", None)
+    if freqs is not None:
+        checks["bad_headway"] = freqs.filter(F.col("headway_secs").cast("long") <= 0)
     rows = [(k, df.count()) for k, df in checks.items()]
     return spark.createDataFrame(rows, "check string, n_bad long")
 

@@ -155,3 +155,14 @@ def test_shapes_full_equality(city_tables):
     assert len(got) == len(golden)
     diffs = [(a, b) for a, b in zip(golden, got) if a != b]
     assert not diffs, f"{city}: {len(diffs)} differing shape rows; first: {diffs[0]}"
+
+
+def test_validate_feed_on_golden_city(city_tables):
+    """Extended transitfeed-style checks are clean on the golden cities
+    (duplicate_stops is a warning class — reported, not asserted)."""
+    from osm2gtfs_spark.sources.gtfs_sink import validate_feed
+
+    city, cfg, t = city_tables
+    checks = {r.check: r.n_bad for r in validate_feed(t).collect()}
+    errors = {k: v for k, v in checks.items() if v and k != "duplicate_stops"}
+    assert not errors, f"{city}: validation errors {errors}"

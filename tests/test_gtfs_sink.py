@@ -45,13 +45,82 @@ def test_zip_members_and_determinism(tables, tmp_path):
 
 def test_validate_feed_clean(tables):
     checks = {r.check: r.n_bad for r in validate_feed(tables).collect()}
-    assert set(checks) == {
+    assert {
         "stop_times_fk_trip",
         "stop_times_fk_stop",
         "trips_fk_route",
         "trips_fk_service",
+        "trips_fk_shape",
         "bad_time_format",
+        "arrival_after_departure",
+        "time_travel_in_trip",
         "bad_stop_sequence",
         "empty_stop_name",
-    }
+        "duplicate_stops",
+        "bad_calendar_date",
+        "bad_headway",
+    } <= set(checks)
     assert all(v == 0 for v in checks.values()), f"validation failures: {checks}"
+
+
+def test_validate_feed_seeded_violations(spark):
+    """Each extended check catches a deliberately broken feed."""
+    from types import SimpleNamespace
+
+    stops = spark.createDataFrame(
+        [
+            ("s1", "A", 1.0, 1.0),
+            ("s2", "", 2.0, 2.0),          # empty name
+            ("s3", "Twin", 3.0, 3.0),      # duplicate pair
+            ("s4", "Twin", 3.000001, 3.0),
+        ],
+        "stop_key string, name string, lat double, lon double",
+    )
+    routes = spark.createDataFrame([("r1",)], "route_id string")
+    calendar = spark.createDataFrame(
+        [("svc", "20180101", "2017123")],   # malformed end_date
+        "service_id string, start_date string, end_date string",
+    )
+    trips = spark.createDataFrame(
+        [("t1", "r1", "svc", "shp_missing")],
+        "trip_id string, route_id string, service_id string, shape_id string",
+    )
+    shapes = spark.createDataFrame([("other_shape",)], "shape_id string")
+    stop_times = spark.createDataFrame(
+        [
+            # arrival > departure at seq 1; time-travel at seq 2 (arrives
+            # before the previous departure); orphan stop + trip at seq 9
+            ("t1", "s1", 1, "08:10:00", "08:00:00"),
+            ("t1", "s1", 2, "07:00:00", "07:30:00"),
+            ("t1", "ghost", 2, "bad", "bad"),       # dup seq + bad format + fk
+            ("t_orphan", "s1", 1, "09:00:00", "09:00:00"),
+        ],
+        "trip_id string, stop_key string, stop_sequence int, arrival_time string, departure_time string",
+    )
+    freqs = spark.createDataFrame(
+        [("t1", 0)], "trip_id string, headway_secs int"
+    )
+    cal_dates = spark.createDataFrame(
+        [("svc", "2018010", "3")],          # bad date + bad exception type
+        "service_id string, date string, exception_type string",
+    )
+    tbl = SimpleNamespace(
+        stops=stops, routes=routes, calendar=calendar, trips=trips,
+        shapes=shapes, stop_times=stop_times, frequencies=freqs,
+        calendar_dates=cal_dates, stations=None,
+    )
+    # stations attr must be absent or a DF; use a namespace without it
+    del tbl.stations
+    checks = {r.check: r.n_bad for r in validate_feed(tbl).collect()}
+    assert checks["stop_times_fk_trip"] == 1      # t_orphan
+    assert checks["stop_times_fk_stop"] == 1      # ghost
+    assert checks["bad_time_format"] == 1
+    assert checks["arrival_after_departure"] == 1
+    assert checks["time_travel_in_trip"] == 1
+    assert checks["bad_stop_sequence"] == 1       # t1 has dup seq 2
+    assert checks["empty_stop_name"] == 1
+    assert checks["duplicate_stops"] == 1         # Twin pair within ~1 m
+    assert checks["bad_calendar_date"] == 1
+    assert checks["trips_fk_shape"] == 1
+    assert checks["bad_exception_date"] == 1
+    assert checks["bad_headway"] == 1
