@@ -71,7 +71,12 @@ SORT_KEYS: dict[str, list[str]] = {
 }
 
 
-def _write_csv(df: DataFrame, filename: str, out_dir: str) -> str:
+def _write_csv(df: DataFrame, filename: str, out_dir: str, shards: int = 1) -> str:
+    """Ordered CSV member. ``shards=1`` → one sorted task (fixture scale);
+    ``shards>1`` → range-partitioned parallel sorted writes, concatenated
+    on the driver in partition order — byte-identical output (range
+    partitions tile the key space in order, each sorted within), but the
+    sort/format work fans out over ``shards`` tasks instead of one."""
     cols = [c for c in GTFS_COLUMNS[filename] if c in df.columns]
     missing = [c for c in GTFS_COLUMNS[filename] if c not in df.columns]
     sel = df.select(
@@ -83,25 +88,34 @@ def _write_csv(df: DataFrame, filename: str, out_dir: str) -> str:
         F.col(k).cast("double").asc_nulls_last() if k in ("trip_id", "stop_sequence", "shape_pt_sequence") else F.col(k).asc()
         for k in SORT_KEYS[filename]
     ]
+    if shards <= 1:
+        ordered = sel.orderBy(*keys).coalesce(1)
+    else:
+        ordered = sel.repartitionByRange(shards, *keys).sortWithinPartitions(*keys)
     tmp = tempfile.mkdtemp(prefix="gtfs_csv_")
     (
-        sel.orderBy(*keys)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .option("header", True)
+        ordered.write.mode("overwrite")
+        .option("header", False)
         .option("emptyValue", "")
         .option("nullValue", "")
         .csv(tmp)
     )
-    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*.csv")))
     dest = os.path.join(out_dir, filename)
-    shutil.move(part, dest)
+    with open(dest, "wb") as out:
+        out.write((",".join(GTFS_COLUMNS[filename]) + "\n").encode("utf-8"))
+        for p in parts:
+            with open(p, "rb") as f:
+                shutil.copyfileobj(f, out)
     shutil.rmtree(tmp, ignore_errors=True)
     return dest
 
 
-def write_gtfs_zip(tables, zip_path: str, agency: dict | None = None) -> str:
-    """tables: GtfsTables (plans.pipeline). Returns the zip path."""
+def write_gtfs_zip(tables, zip_path: str, agency: dict | None = None, shards: int = 1) -> str:
+    """tables: GtfsTables (plans.pipeline). Returns the zip path.
+
+    ``shards``: parallel ordered writers per member (see _write_csv);
+    output bytes are shard-count invariant."""
     out_dir = tempfile.mkdtemp(prefix="gtfs_feed_")
     # stops.txt needs stop_id/location_type; stations are location_type=1
     stops = tables.stops.select(
@@ -134,7 +148,7 @@ def write_gtfs_zip(tables, zip_path: str, agency: dict | None = None) -> str:
         members["calendar_dates.txt"] = tables.calendar_dates
     files = []
     for filename, df in members.items():
-        files.append(_write_csv(df, filename, out_dir))
+        files.append(_write_csv(df, filename, out_dir, shards=shards))
     # agency.txt / feed_info.txt are config projections (S6)
     agency = agency or {"agency_id": "O", "agency_name": "Synthetic", "agency_url": "https://example.org", "agency_timezone": "UTC"}
     ag = os.path.join(out_dir, "agency.txt")

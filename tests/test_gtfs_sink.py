@@ -124,3 +124,10 @@ def test_validate_feed_seeded_violations(spark):
     assert checks["trips_fk_shape"] == 1
     assert checks["bad_exception_date"] == 1
     assert checks["bad_headway"] == 1
+
+
+def test_zip_shard_invariance(tables, tmp_path):
+    """Range-sharded parallel sink emits byte-identical zips (O5)."""
+    p1 = write_gtfs_zip(tables, str(tmp_path / "one.zip"), shards=1)
+    p4 = write_gtfs_zip(tables, str(tmp_path / "four.zip"), shards=4)
+    assert open(p1, "rb").read() == open(p4, "rb").read()
