@@ -51,6 +51,25 @@ DEFAULT_INTERVAL = "01:00"
 _TIME_RE = re.compile(r"^(\d{1,2}):(\d{2})(?::(\d{2}))?$")
 _SPAN_RE = re.compile(r"(\d{1,2}:\d{2})\s*-\s*(\d{1,2}:\d{2})")
 
+_MONTHS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+# wide-range selectors (month [day] ranges, week lists) are treated as
+# always-active: GTFS frequency generation collapses the year to one
+# service period (the reference's transporthours path does the same)
+_WIDE_SELECTOR_RE = re.compile(
+    rf"^(?:(?:{_MONTHS})(?:\s+\d{{1,2}})?(?:\s*-\s*(?:{_MONTHS})(?:\s+\d{{1,2}})?)?"
+    rf"|week\s+[\d,\s-]+)[\s,]*",
+    re.IGNORECASE,
+)
+_OFF_RE = re.compile(r"\b(?:off|closed)\s*$", re.IGNORECASE)
+
+
+def _strip_wide_selectors(rule: str) -> str:
+    while True:
+        m = _WIDE_SELECTOR_RE.match(rule)
+        if not m or m.end() == 0:
+            return rule
+        rule = rule[m.end() :]
+
 
 def parse_interval_secs(s: str | None) -> int | None:
     """'HH:MM[:SS]' or plain minutes → seconds; None/garbage → None."""
@@ -97,28 +116,60 @@ def _parse_days(spec: str) -> frozenset[int]:
     return frozenset(days) if days else ALL_DAYS
 
 
-def parse_opening_hours(s: str | None) -> list[tuple[frozenset[int], int, int]]:
-    """opening_hours → [(days, start_min, end_min)]; unparseable → []."""
+def _parse_rules(s: str | None) -> list[tuple[frozenset[int], list[tuple[int, int]], bool]]:
+    """opening_hours → ordered [(days, [(start,end)...], is_off)] rules.
+
+    Handles the transporthours-relevant grammar beyond the golden
+    fixtures: 'PH off' (no-op — public holidays carry no weekday),
+    '<days> off'/'closed' (clears those days), month/month-day ranges
+    and 'week N-M' selectors (treated as always-active)."""
     if not s:
         return []
     s = s.strip()
     if s == "24/7":
-        return [(ALL_DAYS, 0, 24 * 60)]
-    out: list[tuple[frozenset[int], int, int]] = []
+        return [(ALL_DAYS, [(0, 24 * 60)], False)]
+    rules: list[tuple[frozenset[int], list[tuple[int, int]], bool]] = []
     for rule in s.split(";"):
         rule = rule.strip()
-        if not rule or rule in ("off", "closed"):
+        if not rule:
+            continue
+        if rule.lower() in ("off", "closed"):
+            rules.append((ALL_DAYS, [], True))
+            continue
+        rule = _strip_wide_selectors(rule)
+        if _OFF_RE.search(rule):
+            day_part = _OFF_RE.sub("", rule).strip().rstrip(",").strip()
+            tokens = [t.strip() for t in day_part.split(",") if t.strip()]
+            if tokens and all(t == "PH" for t in tokens):
+                continue  # 'PH off': no weekday affected
+            rules.append((_parse_days(day_part), [], True))
             continue
         first_span = _SPAN_RE.search(rule)
         if not first_span:
             continue
-        day_part = rule[: first_span.start()].strip()
-        days = _parse_days(day_part)
-        for a, b in _SPAN_RE.findall(rule):
-            start, end = _time_to_min(a), _time_to_min(b)
-            if end > start:
-                out.append((days, start, end))
-    return out
+        days = _parse_days(rule[: first_span.start()].strip())
+        spans = [
+            (_time_to_min(a), _time_to_min(b))
+            for a, b in _SPAN_RE.findall(rule)
+            if _time_to_min(b) > _time_to_min(a)
+        ]
+        if spans:
+            rules.append((days, spans, False))
+    return rules
+
+
+def parse_opening_hours(s: str | None) -> list[tuple[frozenset[int], int, int]]:
+    """opening_hours → [(days, start_min, end_min)]; unparseable → [].
+
+    Flat view (no inter-rule precedence) — used for conditional-interval
+    conditions, which never override each other. tags_to_windows applies
+    full later-rule-wins precedence via _parse_rules."""
+    return [
+        (days, start, end)
+        for days, spans, is_off in _parse_rules(s)
+        if not is_off
+        for start, end in spans
+    ]
 
 
 def parse_conditional(s: str | None) -> list[tuple[int, frozenset[int], int, int]]:
@@ -165,15 +216,24 @@ def tags_to_windows(
     unparseable (the caller then falls back to line-level tags, then to
     the city default — trips_creator_ci_abidjan.py:139-148)."""
     base = parse_interval_secs(interval)
-    spans = parse_opening_hours(opening_hours)
-    if base is None or not spans:
+    rules = _parse_rules(opening_hours)
+    if base is None or not any(spans for _, spans, off in rules if not off):
         return []
     conds = parse_conditional(conditional)
 
+    # later-rule-wins precedence: each rule (re)defines the open spans of
+    # the days it names; 'off' rules clear them (standard opening_hours
+    # semantics — "Mo-Fr 05:00-22:00; We 06:00-10:00" leaves Wednesday
+    # with ONLY the second rule's span)
+    day_open: dict[int, list[tuple[int, int]]] = {}
+    for days, spans, is_off in rules:
+        for d in days:
+            day_open[d] = [] if is_off else list(spans)
+
     # per-day partition of each open span at conditional boundaries
     per_day: dict[int, list[tuple[int, int, int]]] = {}
-    for days, start, end in spans:
-        for d in days:
+    for d, open_spans in day_open.items():
+        for start, end in open_spans:
             cuts = sorted(
                 (max(start, cs), min(end, ce), hw)
                 for hw, cdays, cs, ce in conds

@@ -241,3 +241,84 @@ def test_abidjan_real_stops_golden(spark):
         )
     assert len(got) == len(golden) == 2614
     assert got == golden
+
+
+def test_ph_off_is_noop():
+    base = tags_to_windows("Mo-Su 05:00-22:00", "01:00")
+    with_ph = tags_to_windows("Mo-Su 05:00-22:00; PH off", "01:00")
+    assert with_ph == base
+
+
+def test_day_off_clears_days():
+    wins = tags_to_windows("Mo-Su 05:00-22:00; Su off", "01:00")
+    assert len(wins) == 1
+    assert wins[0]["service_id"] == "Mo-Sa"
+    assert wins[0]["day_flags"] == [True] * 6 + [False]
+
+
+def test_month_and_week_selectors_stripped():
+    base = tags_to_windows("Mo-Fr 05:00-22:00", "00:30")
+    for oh in (
+        "Jan-Mar Mo-Fr 05:00-22:00",
+        "Jan 05-Feb 20 Mo-Fr 05:00-22:00",
+        "week 1-26 Mo-Fr 05:00-22:00",
+        "Jan-Dec, week 1-53 Mo-Fr 05:00-22:00",
+    ):
+        assert tags_to_windows(oh, "00:30") == base, oh
+
+
+def test_later_rule_overrides_days():
+    wins = tags_to_windows("Mo-Fr 05:00-22:00; We 06:00-10:00", "01:00")
+    by_day = {}
+    for w in wins:
+        for d, on in enumerate(w["day_flags"]):
+            if on:
+                by_day.setdefault(d, []).append((w["start_secs"], w["end_secs"]))
+    assert by_day[2] == [(6 * 3600, 10 * 3600)]       # Wednesday overridden
+    assert by_day[0] == [(5 * 3600, 22 * 3600)]       # Monday untouched
+
+
+def test_full_day_off_rule():
+    assert tags_to_windows("Mo-Su 05:00-22:00; off", "01:00") == []
+
+
+def test_grammar_property_corpus():
+    """Windows tile each day's final open span exactly: within bounds,
+    gap-free, non-overlapping, base headway outside conditional cuts."""
+    import itertools, random
+
+    rng = random.Random(42)
+    days_specs = ["Mo-Fr", "Sa,Su", "Mo-Su", "Tu", "We-Sa", "Su-Tu", "Mo-Su,PH"]
+    months = ["", "Jan-Mar ", "Apr 01-Jun 15 ", "week 10-20 "]
+    for _ in range(120):
+        n_rules = rng.randint(1, 3)
+        rules, day_truth = [], {}
+        for _ in range(n_rules):
+            dspec = rng.choice(days_specs)
+            s = rng.randint(0, 20) * 60
+            e = s + rng.randint(1, 23 - s // 60) * 60
+            off = rng.random() < 0.2
+            rules.append(
+                f"{rng.choice(months)}{dspec} " + ("off" if off else f"{s//60:02d}:{s%60:02d}-{e//60:02d}:{e%60:02d}")
+            )
+            from osm2gtfs_spark.functions.opening_hours import _parse_days
+            for d in _parse_days(dspec):
+                day_truth[d] = None if off else (s * 60, e * 60)
+        oh = "; ".join(rules)
+        wins = tags_to_windows(oh, "00:30")
+        per_day = {}
+        for w in wins:
+            assert w["headway_secs"] == 1800
+            for d, on in enumerate(w["day_flags"]):
+                if on:
+                    per_day.setdefault(d, []).append((w["start_secs"], w["end_secs"]))
+        for d, span in day_truth.items():
+            got = sorted(per_day.get(d, []))
+            if span is None:
+                assert got == [], (oh, d)
+            else:
+                # gap-free tiling of the day's final span
+                assert got, (oh, d)
+                assert got[0][0] == span[0] and got[-1][1] == span[1], (oh, d, got)
+                for (s1, e1), (s2, e2) in itertools.pairwise(got):
+                    assert e1 == s2, (oh, d, got)
