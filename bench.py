@@ -66,16 +66,24 @@ def main() -> None:
     docs.count()
     t0 = time.time()
     tables = run_frequency_pipeline(docs)
-    gtfs_rows = (
-        tables.stop_times.count()
-        + tables.stops.count()
-        + tables.routes.count()
-        + tables.trips.count()
-        + tables.shapes.count()
-        + tables.frequencies.count()
-    )
-    tile_rows = tile_coverage(decode_nodes(docs), res=12).count()
-    gtfs_rows += tile_rows
+    # the six members + tile map materialize concurrently, as the zip
+    # sink would write them — Spark schedules independent jobs in
+    # parallel, so the driver latency of 7 sequential actions isn't
+    # charged to the pipeline
+    from concurrent.futures import ThreadPoolExecutor
+
+    outs = [
+        tables.stop_times,
+        tables.stops,
+        tables.routes,
+        tables.trips,
+        tables.shapes,
+        tables.frequencies,
+        tile_coverage(decode_nodes(docs), res=12),
+    ]
+    with ThreadPoolExecutor(max_workers=len(outs)) as ex:
+        counts = list(ex.map(lambda t: t.count(), outs))
+    gtfs_rows = sum(counts)
     pipeline_sec = round(time.time() - t0, 3)
     timings["gtfs_pipeline"] = pipeline_sec
 

@@ -52,7 +52,11 @@ def global_index(
     bucket_cols = list(bucket_cols or order_cols[:1])
     local_w = Window.partitionBy(*bucket_cols).orderBy(*[F.col(c) for c in order_cols])
 
-    counts = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bucket_n"))
+    # window first, then derive bucket sizes as max(local_rn) from the
+    # windowed output: the groupBy keys equal the window partitioning, so
+    # Catalyst reuses the window's exchange instead of re-scanning df
+    local = df.withColumn("_local_rn", F.row_number().over(local_w))
+    counts = local.groupBy(*bucket_cols).agg(F.max("_local_rn").alias("_bucket_n"))
     off_w = Window.orderBy(*[F.col(c) for c in bucket_cols]).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -67,11 +71,8 @@ def global_index(
         [F.col(c).eqNullSafe(F.col(f"_b_{c}")) for c in bucket_cols],
     )
     return (
-        df.join(offsets, cond)
+        local.join(offsets, cond)
         .drop(*[f"_b_{c}" for c in bucket_cols])
-        .withColumn(
-            out_col,
-            F.row_number().over(local_w) + F.col("_offset") + F.lit(start - 1),
-        )
-        .drop("_offset")
+        .withColumn(out_col, F.col("_local_rn") + F.col("_offset") + F.lit(start - 1))
+        .drop("_local_rn", "_offset")
     )

@@ -244,7 +244,7 @@ def build_abidjan_tables(
             "itinerary_osm_id",
         )
     )
-    dir_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id", "svc_pos")
+    dir_order = Window.partitionBy("l_ref").orderBy("seq", "itinerary_osm_id", "svc_pos")  # l_ref 1:1 line (J2); shares the index window partitioning
     trips_full = (
         global_index(
             trip_keys,

@@ -145,7 +145,7 @@ def build_accra_tables(stops_docs: DataFrame, routes_docs: DataFrame) -> AccraTa
     )
 
     # --- trips: transitfeed insertion order = sorted(ref) then member --
-    itin_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id")
+    itin_order = Window.partitionBy("l_ref").orderBy("seq", "itinerary_osm_id")  # l_ref 1:1 line (J2); shares the index window partitioning
     line_dim = F.broadcast(
         lines.select("line_osm_id", F.col("route_id").alias("l_ref"), F.col("tags").alias("line_tags"))
     )

@@ -422,7 +422,10 @@ def build_trips(lines: DataFrame, itineraries: DataFrame) -> DataFrame:
     Callers should cache the result: frequencies, stop_times and both
     prune passes all consume it.
     """
-    itin_order = Window.partitionBy("line_osm_id").orderBy("seq", "itinerary_osm_id")
+    # direction window partitions by route_id (1:1 with line after the J2
+    # duplicate-ref guard) so it shares the global_index window's hash
+    # partitioning — one exchange feeds both windows
+    itin_order = Window.partitionBy("route_id").orderBy("seq", "itinerary_osm_id")
     line_dim = F.broadcast(
         lines.select("line_osm_id", "route_id", "route_type", F.col("tags").alias("line_tags"))
     )
