@@ -215,3 +215,72 @@ def exact_dedup(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text")
     return docs.groupBy(F.md5(text_col).alias("text_md5")).agg(
         F.min(doc_id).alias("keeper_doc_id"), F.count(F.lit(1)).alias("dup_count")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup clusters: (doc_id, component_id=min doc in component).
+
+    The canonical dedup finishing step — LSH/simhash emit PAIRS, but
+    keeper selection needs transitive closure (a~b, b~c ⇒ one cluster).
+    Min-label propagation with pointer jumping:
+
+    - each round, every vertex takes the min of its label and its
+      neighbors' labels (one equi join + groupBy — shuffles on vertex id);
+    - then labels are path-compressed (label ← label's label, one more
+      equi join), the pointer-doubling step that makes convergence
+      O(log diameter) instead of O(diameter) — the standard
+      large-star/small-star trick;
+    - lineage is truncated each round (localCheckpoint) so the plan
+      doesn't grow with iterations; convergence is detected by a
+      changed-count action (1 tiny job per round).
+
+    Deterministic output (the min id per component is
+    iteration-order-independent). At corpus scale each round is two
+    shuffles on vertex id; skewed high-degree vertices (boilerplate
+    dup clusters) are bounded upstream by lsh_candidate_pairs'
+    max_bucket cap."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+            .select(F.col("src").alias("id"), "nbr_min")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least("label", F.coalesce("nbr_min", "label")).alias("label")
+        )
+        # pointer jumping: label ← label's current label
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(F.col("id").alias("label"), F.col("label").alias("ll")).alias("y"),
+                "label",
+                "left",
+            )
+            .select("id", F.coalesce("ll", "label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            jumped.join(labels.select("id", F.col("label").alias("old")), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))

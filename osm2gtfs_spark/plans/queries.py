@@ -487,9 +487,7 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard(pairs, docs)
 
 
-@register(
-    "simhash_near_dup",
-    """
+_TSE_PAIRS_SQL = """
     -- oracle computes the verify-stage truth directly: pairs of docs
     -- with identical distinct-token SETS. SimHash is the engine-side
     -- candidate generator: equal token sets => equal simhash => equal
@@ -500,20 +498,11 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM s a JOIN s b ON a.ts = b.ts AND a.doc_id < b.doc_id
-    """,
-)
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) banding + exact token-set verify.
+"""
 
-    Pipeline shape mirrors minhash→jaccard: the cheap fingerprint index
-    (4 bands of 16 bits) generates candidates — only band collisions
-    shuffle, never all pairs — and an exact verifier keeps true dups.
-    The verify predicate is distinct-token-set equality, which the
-    SimHash construction preserves exactly (order/multiplicity are
-    discarded before hashing), making the oracle SQL-expressible.
-    Hamming-threshold variants (near-dups) are covered by the pandas
-    brute-force oracle in tests/test_dedup_similarity.py."""
-    docs = tpch.load(spark, sf_dir, "documents")
+
+def _token_set_dup_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash-banded candidates → exact token-set-equal pairs (a<b)."""
     sh = docs.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
     bands = sh.select(
         "doc_id",
@@ -542,6 +531,54 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts_a") == F.col("ts_b"))
         .select("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_components",
+    """
+    -- transitive closure over the token-set-dup pair graph (the same
+    -- edges as simhash_near_dup): component_id = min doc_id reachable.
+    WITH RECURSIVE
+     s AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ts
+           FROM documents),
+     e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM s a JOIN s b ON a.ts = b.ts AND a.doc_id <> b.doc_id),
+     reach(src, dst) AS (
+       SELECT src, dst FROM e
+       UNION
+       SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+     )
+    SELECT src AS doc_id,
+           LEAST(src, MIN(dst)) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via iterated-join connected components.
+
+    The dedup finishing step the pair emitters need: LSH/simhash produce
+    PAIRS; keeper selection requires transitive closure (a~b, b~c ⇒ one
+    cluster, keep min id). Min-label propagation + pointer jumping over
+    the token-set-dup edges (operators/dedup.connected_components) —
+    O(log diameter) rounds, two vertex-id shuffles per round. The oracle
+    is a DuckDB recursive CTE over the same edge set."""
+    pairs = _token_set_dup_pairs(tpch.load(spark, sf_dir, "documents"))
+    return DD.connected_components(pairs)
+
+
+@register("simhash_near_dup", _TSE_PAIRS_SQL)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) banding + exact token-set verify.
+
+    Pipeline shape mirrors minhash→jaccard: the cheap fingerprint index
+    (4 bands of 16 bits) generates candidates — only band collisions
+    shuffle, never all pairs — and an exact verifier keeps true dups.
+    The verify predicate is distinct-token-set equality, which the
+    SimHash construction preserves exactly (order/multiplicity are
+    discarded before hashing), making the oracle SQL-expressible.
+    Hamming-threshold variants (near-dups) are covered by the pandas
+    brute-force oracle in tests/test_dedup_similarity.py."""
+    return _token_set_dup_pairs(tpch.load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

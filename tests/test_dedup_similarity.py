@@ -220,3 +220,17 @@ def test_media_real_decode(spark):
     feats = {r.media_ref: r.features for r in MM.decode_media(media, fake=False).collect()}
     assert abs(sum(feats["a.png"]) - 1.0) < 1e-5
     assert len(feats["g.nul"]) == MM.FEATURE_DIM
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Pointer-jumping CC: long chain (worst diameter) + separate clique
+    + isolated pair all resolve to min-id components."""
+    chain = [(i, i + 1) for i in range(30)]            # 0-1-2-...-30
+    clique = [(100 + a, 100 + b) for a in range(4) for b in range(a + 1, 4)]
+    pair = [(500, 501)]
+    pairs = spark.createDataFrame(chain + clique + pair, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component_id for r in DD.connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(31))
+    assert all(got[100 + i] == 100 for i in range(4))
+    assert got[500] == got[501] == 500
+    assert len(got) == 31 + 4 + 2
