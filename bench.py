@@ -87,7 +87,21 @@ def main() -> None:
     pipeline_sec = round(time.time() - t0, 3)
     timings["gtfs_pipeline"] = pipeline_sec
 
+    # sharded deterministic sink: full zip write with 8 parallel ordered
+    # writers per member (byte-identical to shards=1 — asserted in tests)
+    import tempfile
+
+    from osm2gtfs_spark.sources.gtfs_sink import write_gtfs_zip
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        write_gtfs_zip(tables, os.path.join(td, "bench.zip"), shards=8)
+        zip_sec = round(time.time() - t0, 3)
+
+    # total keeps the r1 definition (headline + pipeline); the sink is
+    # reported separately so rounds stay comparable
     total = round(sum(timings.values()), 3)
+    timings["gtfs_zip_sharded"] = zip_sec
     print(
         json.dumps(
             {
