@@ -134,6 +134,35 @@ def sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def tile_coverage_stream(
+    points: DataFrame,
+    res: int = 6,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Streaming raster↔vector tile assignment: watermarked per-window
+    per-cell coverage counts over a stream of (ts, lat, lon) points —
+    the north star's 'schedule coverage maps' shape at ingest time.
+
+    Identical cell math as the batch operator (functions/geo.cell_id),
+    so a bounded drain equals the batch groupBy — asserted in
+    tests/test_streaming.py. Late points past the watermark are dropped;
+    state is bounded by (windows in flight × occupied cells)."""
+    from osm2gtfs_spark.functions.geo import cell_id
+
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            cell_id(lat_col, lon_col, res).alias("cell_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .select(F.col("w.start").alias("window_start"), "cell_id", "n_points")
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> None:
     """Drain the bounded source into a memory sink (test/bench helper)."""
     q = (

@@ -52,3 +52,37 @@ def test_sessionize_stateful(spark, sf_dir, tmp_path):
     n_breaks = int((gaps > 1800).sum())
     got_user = [r for r in rows if r.user_id == rows[0].user_id]
     assert len(got_user) == n_breaks, "closed sessions = number of >30min gaps"
+
+
+def test_tile_coverage_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming tile coverage (watermarked window × cell) equals the
+    batch groupBy on the bounded source."""
+    from osm2gtfs_spark.functions.geo import cell_id
+
+    def to_points(df):
+        # deterministic synthetic coords from event fields (events carry
+        # no geo columns; the operator only needs (ts, lat, lon))
+        return df.select(
+            "ts",
+            ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+            ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+        )
+
+    stream = to_points(SE.stream_events(spark, sf_dir))
+    out = SE.tile_coverage_stream(stream, res=5, window="1 hour", watermark="2 hours")
+    SE.run_available_now(out, "tiles_stream", str(tmp_path / "ckpt_tiles"))
+    got = {
+        (r.window_start, r.cell_id): r.n_points
+        for r in spark.sql("SELECT * FROM tiles_stream").collect()
+    }
+    batch = to_points(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    want = {
+        (r.w, r.cell_id): r.n_points
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").start.alias("w"),
+            cell_id("lat", "lon", 5).alias("cell_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .collect()
+    }
+    assert got == want and len(got) > 10
