@@ -55,9 +55,12 @@ _MONTHS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
 # wide-range selectors (month [day] ranges, week lists) are treated as
 # always-active: GTFS frequency generation collapses the year to one
 # service period (the reference's transporthours path does the same)
+#   month-day digits must NOT swallow the hour of a following time span
+#   ("Jan-Dec 05:00-22:00"): a day number can't be followed by ':',
+#   and week lists are digit ranges, never 'HH:' prefixes
 _WIDE_SELECTOR_RE = re.compile(
-    rf"^(?:(?:{_MONTHS})(?:\s+\d{{1,2}})?(?:\s*-\s*(?:{_MONTHS})(?:\s+\d{{1,2}})?)?"
-    rf"|week\s+[\d,\s-]+)[\s,]*",
+    rf"^(?:(?:{_MONTHS})(?:\s+\d{{1,2}}(?![\d:]))?(?:\s*-\s*(?:{_MONTHS})(?:\s+\d{{1,2}}(?![\d:]))?)?"
+    rf"|week\s+\d+(?![\d:])(?:\s*-\s*\d+(?![\d:]))?(?:\s*,\s*\d+(?![\d:])(?:\s*-\s*\d+(?![\d:]))?)*)[\s,]*",
     re.IGNORECASE,
 )
 _OFF_RE = re.compile(r"\b(?:off|closed)\s*$", re.IGNORECASE)
@@ -136,7 +139,13 @@ def _parse_rules(s: str | None) -> list[tuple[frozenset[int], list[tuple[int, in
         if rule.lower() in ("off", "closed"):
             rules.append((ALL_DAYS, [], True))
             continue
-        rule = _strip_wide_selectors(rule)
+        stripped = _strip_wide_selectors(rule)
+        if stripped != rule and stripped.lower() in ("off", "closed"):
+            # date-scoped closure ("Dec 25 off") — a few calendar days,
+            # not a weekday pattern: no-op for the weekly service, like
+            # 'PH off' (exception dates are calendar_dates territory)
+            continue
+        rule = stripped
         if _OFF_RE.search(rule):
             day_part = _OFF_RE.sub("", rule).strip().rstrip(",").strip()
             tokens = [t.strip() for t in day_part.split(",") if t.strip()]

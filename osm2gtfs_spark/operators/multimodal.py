@@ -141,7 +141,7 @@ def _parse_wav(b: bytes):
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         clen = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
-        if cid == b"fmt ":
+        if cid == b"fmt " and pos + 24 <= len(b):
             channels = struct.unpack("<H", b[pos + 10 : pos + 12])[0] or 1
             bits = struct.unpack("<H", b[pos + 22 : pos + 24])[0] or 8
         elif cid == b"data":
@@ -156,7 +156,9 @@ def decode_bytes(b: bytes):
     """(width, height, n_frames) from real media bytes, or None."""
     if not b:
         return None
-    if _HAS_PIL and not b.startswith(b"RIFF"):
+    # only true WAVE RIFF bypasses PIL — other RIFF containers (WebP)
+    # are PIL-decodable images
+    if _HAS_PIL and not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
         try:
             img = _PILImage.open(_io.BytesIO(bytes(b)))
             return int(img.width), int(img.height), int(getattr(img, "n_frames", 1))
@@ -207,7 +209,11 @@ def _real_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for doc_id, ref, blob in zip(pdf.doc_id, pdf.media_ref, pdf.media_blob):
         raw = bytes(blob) if blob is not None else b""
-        meta = decode_bytes(raw)
+        try:
+            meta = decode_bytes(raw)
+        except Exception:
+            # corrupt/truncated container — NULL dims, never a task crash
+            meta = None
         if meta is None:
             rows.append((doc_id, ref, None, None, None, _byte_histogram(raw)))
         else:

@@ -834,12 +834,14 @@ _PLANT_RANK_SQL = """
     -- planted-ranking design: the synthetic corpus has no true near
     -- neighbors (max background cosine 0.51), so for each query q
     -- (vec_id < 20) five perturbed copies are planted at vec_id +
-    -- 10000·j, j=1..5: copy_j = (1-0.02j)·q + 0.02j·r where r is the
+    -- 10^7·j, j=1..5 (base far above any corpus vec_id, so planted ids
+    -- can never collide with real rows): copy_j = (1-0.02j)·q +
+    -- 0.02j·r where r is the
     -- corpus vector vec_id+100. Linear interpolation toward r makes
     -- the angle to q strictly increasing in j, so the true top-5 (and
     -- its order) is the planted list — which is this oracle.
     SELECT e.vec_id AS query_id,
-           e.vec_id + 10000 * j.j AS neighbor_id,
+           e.vec_id + 10000000 * j.j AS neighbor_id,
            j.j AS rank
     FROM embeddings e CROSS JOIN (SELECT UNNEST([1,2,3,4,5]) AS j) j
     WHERE e.vec_id < 20
@@ -856,7 +858,7 @@ def _plant_ranked_neighbors(emb: DataFrame) -> DataFrame:
         q.join(r, "qid")
         .select("qid", "q_vec", "r_vec", F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("j"))
         .select(
-            (F.col("qid") + F.col("j") * 10000).alias("vec_id"),
+            (F.col("qid") + F.col("j") * 10_000_000).alias("vec_id"),
             F.transform(
                 F.zip_with(
                     "q_vec",
@@ -888,10 +890,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     -- planted-duplicate design: the synthetic embeddings have no true
     -- near-dups (max pairwise cosine 0.51), so 20 exact copies are
-    -- planted at vec_id+10000; the engine must recover EXACTLY those
+    -- planted at vec_id+10^7 (far above any corpus vec_id); the
+    -- engine must recover EXACTLY those
     -- pairs via hyperplane-LSH buckets + cosine threshold (copies agree
     -- in every bucket table up to ~1e-15 miss probability).
-    SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+    SELECT vec_id AS id_a, vec_id + 10000000 AS id_b
     FROM embeddings WHERE vec_id < 20
     """,
 )
@@ -900,7 +903,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-duplicate corpus (threshold 0.99 ≫ the 0.51 background)."""
     emb = tpch.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") < 20).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
     return SIM.embedding_near_dup(corpus, dim=64, threshold=0.99).select(

@@ -219,7 +219,8 @@ def validate_feed(tables) -> DataFrame:
         "stop_times_fk_stop": st.join(stop_ids, "stop_id", "left_anti"),
         "trips_fk_route": tables.trips.join(tables.routes, "route_id", "left_anti"),
         "bad_time_format": st.filter(
-            (F.col("arrival_time") != "") & ~F.col("arrival_time").rlike(r"^\d+:\d{2}:\d{2}$")
+            ((F.col("arrival_time") != "") & ~F.col("arrival_time").rlike(r"^\d+:\d{2}:\d{2}$"))
+            | ((F.col("departure_time") != "") & ~F.col("departure_time").rlike(r"^\d+:\d{2}:\d{2}$"))
         ),
         "arrival_after_departure": timed.filter(F.col("a") > F.col("d")),
         # transitfeed: each timed stop must not precede the last timed

@@ -234,3 +234,18 @@ def test_connected_components_chain_and_cliques(spark):
     assert all(got[100 + i] == 100 for i in range(4))
     assert got[500] == got[501] == 500
     assert len(got) == 31 + 4 + 2
+
+
+def test_media_decode_corrupt_containers(spark):
+    """Review regression: truncated RIFF/odd bytes yield NULL dims, not a
+    task crash."""
+    rows = [
+        ("t1", "trunc.wav", bytearray(b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt " + b"\x10\x00\x00\x00")),
+        ("t2", "webpish.bin", bytearray(b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP" + b"VP8 ")),
+        ("t3", "tiny.png", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id string, media_ref string, media_blob binary")
+    got = {r.media_ref: (r.width, r.height, r.n_frames) for r in MM.decode_media(media, fake=False).collect()}
+    assert got["trunc.wav"][2] in (None, 0)   # no data chunk → 0 frames or NULL
+    assert got["webpish.bin"] == (None, None, None)
+    assert got["tiny.png"] == (None, None, None)

@@ -322,3 +322,23 @@ def test_grammar_property_corpus():
                 assert got[0][0] == span[0] and got[-1][1] == span[1], (oh, d, got)
                 for (s1, e1), (s2, e2) in itertools.pairwise(got):
                     assert e1 == s2, (oh, d, got)
+
+
+def test_selector_directly_before_timespan():
+    """Review regression: month/week selectors must not eat the hour
+    digits of a directly following time span."""
+    base = tags_to_windows("Mo-Su 05:00-22:00", "00:30")
+    for oh in ("Jan-Dec 05:00-22:00", "week 1-53 05:00-22:00", "Mar-Oct 05:00-22:00"):
+        assert tags_to_windows(oh, "00:30") == base, oh
+    # month + day followed by a time span: day number kept, hour intact
+    assert tags_to_windows("May 10:00-12:00", "00:30")[0]["start_secs"] == 10 * 3600
+
+
+def test_date_scoped_off_is_noop():
+    """Review regression: 'Dec 25 off' is a calendar exception, not a
+    weekly clear — must not wipe the weekly service."""
+    base = tags_to_windows("Mo-Su 06:00-22:00", "00:30")
+    assert tags_to_windows("Mo-Su 06:00-22:00; Dec 25 off", "00:30") == base
+    assert tags_to_windows("Mo-Su 06:00-22:00; Jan 01-Jan 02 off", "00:30") == base
+    # but a plain global off still clears
+    assert tags_to_windows("Mo-Su 06:00-22:00; off", "00:30") == []
