@@ -1,0 +1,80 @@
+"""Plan audit: dump physical-plan evidence for the headline queries.
+
+Reproduces the PLANS.md spot checks: for each audited query, print the
+formatted plan plus a one-line summary of the properties we require —
+pushed filters, read schema width, exchange count, single-partition
+exchanges, whole-stage-codegen coverage, Python workers.
+
+Usage: python tools/plan_audit.py [query ...]   (default: audit set)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from osm2gtfs_spark.plans import queries as Q
+from osm2gtfs_spark.session import build_session
+
+AUDIT = [
+    "q1_pricing_summary",
+    "knn_snap",
+    "tile_coverage",
+    "cell_encode",
+    "minhash_lsh_pairs",
+    "simhash_near_dup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_components",
+    "salted_agg",
+    "replicated_salted_join",
+    "adaptive_cell_split",
+]
+
+
+def summarize(plan: str) -> dict:
+    lines = plan.splitlines()
+    single = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln or (
+            "Arguments: SinglePartition" in ln
+        ):
+            single.append(i)
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "single_partition_exchanges": len(
+            re.findall(r"Exchange SinglePartition|Arguments: SinglePartition", plan)
+        ),
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan)[:2],
+        "read_schemas": [
+            s[:80] for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)[:3]
+        ],
+        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        "python_evals": len(re.findall(r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct|BroadcastNestedLoop", plan)),
+    }
+
+
+def main() -> None:
+    names = sys.argv[1:] or AUDIT
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = build_session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Q.queries()
+    for name in names:
+        df = registry[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        s = summarize(plan)
+        print(f"== {name}: {s}")
+        if os.environ.get("PLAN_AUDIT_FULL"):
+            df.explain("formatted")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
