@@ -581,6 +581,44 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _token_set_dup_pairs(tpch.load(spark, sf_dir, "documents"))
 
 
+@register(
+    "range_join_events",
+    """
+    -- point-in-interval join, equi-ized by time bucket on the engine
+    -- side; the oracle states the plain BETWEEN semantics directly.
+    WITH i AS (SELECT event_id AS interval_id,
+                      ts AS s,
+                      ts + to_minutes(CAST(event_id % 50 + 1 AS BIGINT)) AS e
+               FROM events
+               WHERE event_type = 'purchase' AND event_id % 7 = 0)
+    SELECT p.event_id, i.interval_id
+    FROM events p JOIN i ON p.ts >= i.s AND p.ts <= i.e
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): which events fall inside each
+    purchase's follow-up window. Naively a nested-loop/cartesian (banned
+    session-wide); operators/interval.range_join equi-izes it by coarse
+    time bucket + explode — the temporal analog of the cell-ring kNN."""
+    from osm2gtfs_spark.operators.interval import range_join
+
+    e = tpch.load(spark, sf_dir, "events")
+    intervals = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 7 == 0))
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"),
+            F.expr(
+                "ts + make_interval(0, 0, 0, 0, 0, CAST(event_id % 50 + 1 AS INT), 0)"
+            ).alias("end_ts"),
+        )
+    )
+    points = e.select("event_id", "ts")
+    return range_join(points, intervals, bucket_secs=3600).select(
+        "event_id", "interval_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------

@@ -90,3 +90,33 @@ def test_skew_contract_queries_registered():
     qs, oracles = q.queries(), q.oracle_sql()
     for name in ("salted_agg", "replicated_salted_join"):
         assert name in qs and name in oracles
+
+
+def test_range_join_bucket_boundaries(spark):
+    """range_join: intervals spanning multiple buckets and points at
+    exact bounds match the plain BETWEEN semantics."""
+    from datetime import datetime
+
+    from osm2gtfs_spark.operators.interval import range_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, datetime(2024, 1, 1, 0, 59, 59)),
+            (3, datetime(2024, 1, 1, 3, 30, 0)),
+            (4, datetime(2024, 1, 1, 5, 0, 1)),
+        ],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 5, 0, 0)),  # 6-bucket span
+            (11, datetime(2024, 1, 1, 3, 30, 0), datetime(2024, 1, 1, 3, 30, 0)),  # zero-length
+        ],
+        "interval_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r.event_id, r.interval_id)
+        for r in range_join(pts, iv, bucket_secs=3600).collect()
+    )
+    assert got == [(1, 10), (2, 10), (3, 10), (3, 11)]
