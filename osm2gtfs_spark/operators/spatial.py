@@ -225,3 +225,52 @@ def point_in_convex_polygon_sql(vertices: list[tuple[float, float]], lat_expr: s
             f"({lat2!r} - {lat1!r}) * (({lon_expr}) - {lon1!r}) >= 0)"
         )
     return " AND ".join(terms)
+
+
+def polygon_table_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 4,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Points × polygon TABLE containment join (north star: stops vs
+    route hulls / city boundaries) — never a nested loop.
+
+    ``polygons``: (polygon_id, vertices array<struct<lat,lon>>), convex,
+    counter-clockwise. Each polygon explodes over the grid cells its
+    bbox covers at ``res``; points carry their own (ix, iy) cell; the
+    join is equi on the cell and the exact containment test is a fold
+    of per-edge cross-product signs over the vertex array — same IEEE
+    arithmetic as :func:`point_in_convex_polygon`, vertex-table-driven
+    instead of literal. Output: point rows + polygon_id (one row per
+    containing polygon).
+
+    Scale shape: shuffle keyed by grid cell; a polygon costs
+    O(bbox cells at res) rows — pick ``res`` so typical polygons span
+    a handful of cells; dense urban cells are ordinary skew (AQE).
+    """
+    from osm2gtfs_spark.functions.geo import cell_ix, cell_iy
+
+    lat_min = F.array_min(F.transform("vertices", lambda v: v["lat"]))
+    lat_max = F.array_max(F.transform("vertices", lambda v: v["lat"]))
+    lon_min = F.array_min(F.transform("vertices", lambda v: v["lon"]))
+    lon_max = F.array_max(F.transform("vertices", lambda v: v["lon"]))
+    cells = (
+        polygons.withColumn("_ix", F.explode(F.sequence(cell_ix(lon_min, res), cell_ix(lon_max, res))))
+        .withColumn("_iy", F.explode(F.sequence(cell_iy(lat_min, res), cell_iy(lat_max, res))))
+    )
+    pts = points.withColumn("_ix", cell_ix(F.col(lon_col), res)).withColumn(
+        "_iy", cell_iy(F.col(lat_col), res)
+    )
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    # rotate the vertex array by one to pair each vertex with its successor
+    succ = F.concat(F.slice("vertices", 2, F.size("vertices") - 1), F.slice("vertices", 1, 1))
+    edges = F.arrays_zip(F.col("vertices").alias("v1"), succ.alias("v2"))
+    inside = F.forall(
+        edges,
+        lambda e: (e["v2"]["lon"] - e["v1"]["lon"]) * (lat - e["v1"]["lat"])
+        - (e["v2"]["lat"] - e["v1"]["lat"]) * (lon - e["v1"]["lon"])
+        >= 0,
+    )
+    return pts.join(cells, ["_ix", "_iy"]).filter(inside).drop("_ix", "_iy", "vertices")

@@ -163,6 +163,59 @@ def bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "polygon_table_join",
+    f"""
+    -- points x polygon TABLE containment (stops vs boundary hulls):
+    -- 25 convex CCW diamonds derived from nation rows; same per-edge
+    -- cross-product arithmetic as the engine's vertex-array fold.
+    WITH s AS ({tpch.STOPS_SQL}),
+     p AS (SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+                  ((n_nationkey * 31) % 120) - 60 + 0.5 AS lat0,
+                  ((n_nationkey * 47) % 300) - 150 + 0.5 AS lon0,
+                  (n_nationkey % 5) + 3.0 AS dy,
+                  (n_nationkey % 7) + 4.0 AS dx
+           FROM nation),
+     v AS (SELECT polygon_id,
+                  lat0 - dy AS alat, lon0 AS alon,
+                  lat0 AS blat, lon0 + dx AS blon,
+                  lat0 + dy AS clat, lon0 AS clon,
+                  lat0 AS elat, lon0 - dx AS elon
+           FROM p)
+    SELECT s.stop_key, v.polygon_id
+    FROM s JOIN v ON
+         ((blon - alon) * (s.lat - alat) - (blat - alat) * (s.lon - alon) >= 0)
+     AND ((clon - blon) * (s.lat - blat) - (clat - blat) * (s.lon - blon) >= 0)
+     AND ((elon - clon) * (s.lat - clat) - (elat - clat) * (s.lon - clon) >= 0)
+     AND ((alon - elon) * (s.lat - elat) - (alat - elat) * (s.lon - elon) >= 0)
+    """,
+)
+def polygon_table_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join against a polygon TABLE (north star: stops vs
+    route-relation hulls / city boundaries). The engine explodes each
+    polygon over the grid cells its bbox covers, equi-joins points on
+    the cell, and verifies containment with a vertex-array cross-product
+    fold — no nested loop (cross joins are banned session-wide)."""
+    from osm2gtfs_spark.operators.spatial import polygon_table_join
+
+    n = tpch.load(spark, sf_dir, "nation")
+    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
+    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
+    dy = (F.col("n_nationkey") % 5) + 3.0
+    dx = (F.col("n_nationkey") % 7) + 4.0
+    polygons = n.select(
+        F.col("n_nationkey").cast("long").alias("polygon_id"),
+        F.array(
+            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
+            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
+        ).alias("vertices"),
+    )
+    pts = tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon")
+    return polygon_table_join(pts, polygons, res=4).select("stop_key", "polygon_id")
+
+
 # CCW pentagon roughly over Africa/Europe — exercises >4 half-planes.
 _PENTAGON = [(-30.0, -10.0), (-10.0, 50.0), (30.0, 60.0), (55.0, 10.0), (20.0, -30.0)]
 

@@ -120,3 +120,37 @@ def test_range_join_bucket_boundaries(spark):
         for r in range_join(pts, iv, bucket_secs=3600).collect()
     )
     assert got == [(1, 10), (2, 10), (3, 10), (3, 11)]
+
+
+def test_polygon_table_join_matches_literal_filter(spark):
+    """polygon_table_join equals the literal-polygon filter applied per
+    polygon (bbox-cell equi join introduces no false negatives)."""
+    from osm2gtfs_spark.operators.spatial import (
+        point_in_convex_polygon,
+        polygon_table_join,
+    )
+    from pyspark.sql import functions as F
+
+    pts = spark.range(400).select(
+        F.col("id").alias("pid"),
+        (((F.col("id") * 37) % 1200) / 10.0 - 60.0).alias("lat"),
+        (((F.col("id") * 91) % 3000) / 10.0 - 150.0).alias("lon"),
+    )
+    polys = [
+        (0, [(-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0), (10.0, -10.0)]),
+        (1, [(20.0, 30.0), (25.0, 45.0), (35.0, 30.0), (25.0, 15.0)]),
+    ]
+    # build the vertex-table form
+    rows = [(pid, [{"lat": la, "lon": lo} for la, lo in vs]) for pid, vs in polys]
+    pdf = spark.createDataFrame(
+        rows, "polygon_id long, vertices array<struct<lat:double,lon:double>>"
+    )
+    got = {
+        (r.pid, r.polygon_id)
+        for r in polygon_table_join(pts, pdf, res=4).collect()
+    }
+    want = set()
+    for pid, vs in polys:
+        for r in point_in_convex_polygon(pts, vs).collect():
+            want.add((r.pid, pid))
+    assert got == want and len(want) > 0
