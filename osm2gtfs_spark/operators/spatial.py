@@ -274,3 +274,45 @@ def polygon_table_join(
         >= 0,
     )
     return pts.join(cells, ["_ix", "_iy"]).filter(inside).drop("_ix", "_iy", "vertices")
+
+
+def point_in_polygon_winding_pred(
+    vertices: list[tuple[float, float]], lat_col: str = "lat", lon_col: str = "lon"
+) -> Column:
+    """Ray-casting (even-odd crossing) containment for ARBITRARY simple
+    polygons — the non-convex complement of the half-plane test. One
+    crossing term per edge, pure codegen column math; the horizontal-ray
+    guard ``(lat1 > p) != (lat2 > p)`` short-circuits horizontal edges
+    before the slope division matters. Identical IEEE arithmetic is
+    emitted by :func:`point_in_polygon_winding_sql`."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    crossings = F.lit(0)
+    n = len(vertices)
+    for i in range(n):
+        (lat1, lon1), (lat2, lon2) = vertices[i], vertices[(i + 1) % n]
+        hits = (F.lit(lat1) > lat) != (F.lit(lat2) > lat)
+        xcut = F.lit(lon2 - lon1) * (lat - F.lit(lat1)) / F.lit(lat2 - lat1) + F.lit(lon1)
+        crossings = crossings + F.when(hits & (lon < xcut), 1).otherwise(0)
+    return crossings % 2 == 1
+
+
+def point_in_polygon_winding(
+    points: DataFrame, vertices: list[tuple[float, float]], lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    return points.filter(point_in_polygon_winding_pred(vertices, lat_col, lon_col))
+
+
+def point_in_polygon_winding_sql(
+    vertices: list[tuple[float, float]], lat_expr: str, lon_expr: str
+) -> str:
+    """The identical even-odd crossing count as an ANSI SQL predicate."""
+    terms = []
+    n = len(vertices)
+    for i in range(n):
+        (lat1, lon1), (lat2, lon2) = vertices[i], vertices[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({lat1!r} > ({lat_expr})) <> ({lat2!r} > ({lat_expr})))"
+            f" AND (({lon_expr}) < {lon2 - lon1!r} * (({lat_expr}) - {lat1!r})"
+            f" / {lat2 - lat1!r} + {lon1!r}) THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"

@@ -233,6 +233,30 @@ def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_convex_polygon(tpch.stops(spark, sf_dir), _PENTAGON).select("stop_key")
 
 
+# simple CONCAVE hexagon (M-shape), no horizontal edges — exercises the
+# even-odd ray cast where the half-plane conjunction would be wrong
+_CONCAVE = [(-40.0, -40.0), (40.0, -20.0), (10.0, 0.0), (40.0, 20.0), (-40.0, 40.0), (-10.0, 0.0)]
+
+
+from osm2gtfs_spark.operators.spatial import point_in_polygon_winding_sql as _pipw_sql
+
+
+@register(
+    "point_in_polygon_nonconvex",
+    f"""
+    WITH s AS ({tpch.STOPS_SQL})
+    SELECT stop_key FROM s
+    WHERE {_pipw_sql(_CONCAVE, 's.lat', 's.lon')}
+    """,
+)
+def point_in_polygon_nonconvex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ray-casting containment for a concave polygon (winding/even-odd
+    complement of the convex half-plane test)."""
+    from osm2gtfs_spark.operators.spatial import point_in_polygon_winding
+
+    return point_in_polygon_winding(tpch.stops(spark, sf_dir), _CONCAVE).select("stop_key")
+
+
 @register(
     "knn_snap",
     f"""

@@ -154,3 +154,35 @@ def test_polygon_table_join_matches_literal_filter(spark):
         for r in point_in_convex_polygon(pts, vs).collect():
             want.add((r.pid, pid))
     assert got == want and len(want) > 0
+
+
+def test_winding_polygon_concavity(spark):
+    """Even-odd ray cast agrees with a pure-python ray cast on a concave
+    polygon, including notch points inside the convex hull but OUTSIDE
+    the polygon (where the half-plane test would be wrong)."""
+    from osm2gtfs_spark.operators.spatial import point_in_polygon_winding
+    from pyspark.sql import functions as F
+
+    poly = [(-40.0, -40.0), (40.0, -20.0), (10.0, 0.0), (40.0, 20.0), (-40.0, 40.0), (-10.0, 0.0)]
+
+    def py_inside(lat, lon):
+        n, c = len(poly), 0
+        for i in range(n):
+            (la1, lo1), (la2, lo2) = poly[i], poly[(i + 1) % n]
+            if (la1 > lat) != (la2 > lat) and lon < (lo2 - lo1) * (lat - la1) / (la2 - la1) + lo1:
+                c += 1
+        return c % 2 == 1
+
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"),
+        (((F.col("id") * 17) % 1000) / 10.0 - 50.0).alias("lat"),
+        (((F.col("id") * 29) % 1000) / 10.0 - 50.0).alias("lon"),
+    )
+    got = {r.pid for r in point_in_polygon_winding(pts, poly).collect()}
+    rows = pts.collect()
+    want = {r.pid for r in rows if py_inside(r.lat, r.lon)}
+    assert got == want and 0 < len(want) < len(rows)
+    # concavity witness: the notch point (30, 0) is in the convex hull
+    # but outside the polygon
+    notch = spark.createDataFrame([(0, 30.0, 0.0)], "pid long, lat double, lon double")
+    assert point_in_polygon_winding(notch, poly).count() == 0
