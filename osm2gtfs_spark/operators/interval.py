@@ -26,11 +26,12 @@ def range_join(
     start_col: str = "start_ts",
     end_col: str = "end_ts",
     bucket_secs: int = 3600,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to every interval row containing its
+    """Inner-join each point row to every interval row containing its
     timestamp (inclusive bounds). Column names must be disjoint apart
     from the join machinery; the `_bkt` helper column is dropped.
+    (Outer variants would need the BETWEEN predicate folded into the
+    join condition rather than a post-filter — not provided.)
     """
     pb = points.withColumn(
         "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs)
@@ -45,7 +46,7 @@ def range_join(
         ),
     )
     return (
-        pb.join(ib, "_bkt", how)
+        pb.join(ib, "_bkt")
         .filter(
             (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
         )

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from osm2gtfs_spark.functions.geo import (
     cell_id,
+    cell_ix,
+    cell_iy,
     cell_parent,
     cell_ring,
     haversine_m,
@@ -250,8 +252,6 @@ def polygon_table_join(
     O(bbox cells at res) rows — pick ``res`` so typical polygons span
     a handful of cells; dense urban cells are ordinary skew (AQE).
     """
-    from osm2gtfs_spark.functions.geo import cell_ix, cell_iy
-
     lat_min = F.array_min(F.transform("vertices", lambda v: v["lat"]))
     lat_max = F.array_max(F.transform("vertices", lambda v: v["lat"]))
     lon_min = F.array_min(F.transform("vertices", lambda v: v["lon"]))
@@ -281,15 +281,18 @@ def point_in_polygon_winding_pred(
 ) -> Column:
     """Ray-casting (even-odd crossing) containment for ARBITRARY simple
     polygons — the non-convex complement of the half-plane test. One
-    crossing term per edge, pure codegen column math; the horizontal-ray
-    guard ``(lat1 > p) != (lat2 > p)`` short-circuits horizontal edges
-    before the slope division matters. Identical IEEE arithmetic is
-    emitted by :func:`point_in_polygon_winding_sql`."""
+    crossing term per edge, pure codegen column math; horizontal edges
+    never properly cross a horizontal ray, so they are skipped at plan
+    build time (also avoids a /0 that would raise under ANSI mode).
+    Identical IEEE arithmetic is emitted by
+    :func:`point_in_polygon_winding_sql`."""
     lat, lon = F.col(lat_col), F.col(lon_col)
     crossings = F.lit(0)
     n = len(vertices)
     for i in range(n):
         (lat1, lon1), (lat2, lon2) = vertices[i], vertices[(i + 1) % n]
+        if lat2 == lat1:
+            continue
         hits = (F.lit(lat1) > lat) != (F.lit(lat2) > lat)
         xcut = F.lit(lon2 - lon1) * (lat - F.lit(lat1)) / F.lit(lat2 - lat1) + F.lit(lon1)
         crossings = crossings + F.when(hits & (lon < xcut), 1).otherwise(0)
@@ -310,6 +313,8 @@ def point_in_polygon_winding_sql(
     n = len(vertices)
     for i in range(n):
         (lat1, lon1), (lat2, lon2) = vertices[i], vertices[(i + 1) % n]
+        if lat2 == lat1:  # same skip as the Column builder
+            continue
         terms.append(
             f"(CASE WHEN (({lat1!r} > ({lat_expr})) <> ({lat2!r} > ({lat_expr})))"
             f" AND (({lon_expr}) < {lon2 - lon1!r} * (({lat_expr}) - {lat1!r})"

@@ -33,6 +33,7 @@ from osm2gtfs_spark.operators.spatial import (
     knn_snap,
     point_in_convex_polygon,
     point_in_convex_polygon_sql,
+    point_in_polygon_winding_sql as _pipw_sql,
     tile_coverage,
 )
 from osm2gtfs_spark.operators import dedup as DD
@@ -236,9 +237,6 @@ def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simple CONCAVE hexagon (M-shape), no horizontal edges — exercises the
 # even-odd ray cast where the half-plane conjunction would be wrong
 _CONCAVE = [(-40.0, -40.0), (40.0, -20.0), (10.0, 0.0), (40.0, 20.0), (-40.0, 40.0), (-10.0, 0.0)]
-
-
-from osm2gtfs_spark.operators.spatial import point_in_polygon_winding_sql as _pipw_sql
 
 
 @register(

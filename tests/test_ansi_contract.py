@@ -18,15 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-SF = "/root/testdata/sf0.001"
-
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
-def test_query_survives_ansi_on_session(spark, name):
+def test_query_survives_ansi_on_session(spark, sf_dir, name):
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         fn = entry_mod.queries()[name]
-        n = fn(spark, SF).count()
+        n = fn(spark, sf_dir).count()
         assert n >= 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")

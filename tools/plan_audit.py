@@ -36,13 +36,6 @@ AUDIT = [
 
 
 def summarize(plan: str) -> dict:
-    lines = plan.splitlines()
-    single = []
-    for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" in ln or (
-            "Arguments: SinglePartition" in ln
-        ):
-            single.append(i)
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "single_partition_exchanges": len(
