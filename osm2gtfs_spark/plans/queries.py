@@ -217,6 +217,45 @@ def polygon_table_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_table_join(pts, polygons, res=4).select("stop_key", "polygon_id")
 
 
+@register(
+    "cell_rollup",
+    f"""
+    -- hierarchical tile rollup (hypertable-rollup analog): fine res-8
+    -- per-cell aggregates re-keyed to their res-4 parents via pure id
+    -- arithmetic, producing the same counts as aggregating at res 4
+    -- directly. Parent math: strip the res tag, integer-divide ix/iy by
+    -- 2^(8-4), re-tag at res 4 (functions/geo.cell_parent).
+    WITH s AS ({tpch.STOPS_SQL}),
+     fine AS (SELECT {cell_id_sql('lat', 'lon', 8)} AS c8, COUNT(*) AS n
+              FROM s GROUP BY 1),
+     parent AS (SELECT
+        (CAST(4 AS BIGINT) * 4503599627370496
+         + CAST(FLOOR(FLOOR((c8 - 8 * 4503599627370496) / 67108864.0) / 16.0) AS BIGINT) * 67108864
+         + CAST(FLOOR(((c8 - 8 * 4503599627370496) % 67108864) / 16.0) AS BIGINT)) AS cell_r4,
+        n
+      FROM fine)
+    SELECT cell_r4 AS cell_id, CAST(SUM(n) AS BIGINT) AS n_points
+    FROM parent GROUP BY 1
+    """,
+)
+def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: fine-resolution tile aggregates re-keyed to
+    coarse parents and re-aggregated — the pre-aggregation pattern that
+    makes multi-zoom coverage maps one cheap pass over the fine table
+    instead of a rescan per zoom. Invariant (asserted by the oracle):
+    rollup(res 8 → res 4) == direct aggregation at res 4."""
+    from osm2gtfs_spark.functions.geo import cell_parent
+
+    s = tpch.stops(spark, sf_dir)
+    fine = s.groupBy(cell_id("lat", "lon", 8).alias("c8")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        fine.groupBy(cell_parent("c8", 8, 4).alias("cell_id"))
+        .agg(F.sum("n").alias("n_points"))
+    )
+
+
 # CCW pentagon roughly over Africa/Europe — exercises >4 half-planes.
 _PENTAGON = [(-30.0, -10.0), (-10.0, 50.0), (30.0, 60.0), (55.0, 10.0), (20.0, -30.0)]
 

@@ -186,3 +186,40 @@ def test_winding_polygon_concavity(spark):
     # but outside the polygon
     notch = spark.createDataFrame([(0, 30.0, 0.0)], "pid long, lat double, lon double")
     assert point_in_polygon_winding(notch, poly).count() == 0
+
+
+def test_winding_polygon_horizontal_edges_ansi(spark):
+    """Axis-aligned rectangles (horizontal edges) must work, even under
+    an ANSI-on session (the skipped edges avoid a /0)."""
+    from osm2gtfs_spark.operators.spatial import point_in_polygon_winding
+    from pyspark.sql import functions as F
+
+    rect = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]  # CCW in (lat,lon)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, 5.0, 15.0), (4, -1.0, 5.0)],
+        "pid long, lat double, lon double",
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {r.pid for r in point_in_polygon_winding(pts, rect).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert got == {1}
+
+
+def test_cell_rollup_equals_direct(spark, sf_dir):
+    """rollup(res8→res4) must equal aggregating at res 4 directly."""
+    from osm2gtfs_spark.functions.geo import cell_id, cell_parent
+    from osm2gtfs_spark.sources import tpch
+    from pyspark.sql import functions as F
+
+    s = tpch.stops(spark, sf_dir)
+    fine = s.groupBy(cell_id("lat", "lon", 8).alias("c8")).agg(F.count(F.lit(1)).alias("n"))
+    rolled = fine.groupBy(cell_parent("c8", 8, 4).alias("cell_id")).agg(
+        F.sum("n").alias("n_points")
+    )
+    direct = s.groupBy(cell_id("lat", "lon", 4).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+    assert rolled.exceptAll(direct).count() == 0
+    assert direct.exceptAll(rolled).count() == 0
