@@ -66,3 +66,52 @@ def test_manifest_lineage_metrics(spark, catalog):
     assert st["row_count"] == sum(p["rows"] for p in st["partitions"])
     assert all("checksum" in p for p in st["partitions"])
     assert st["row_count"] > 0 and st["schema"].startswith("struct<")
+
+
+def test_mid_tiling_partition_resume(spark, tmp_path):
+    """North rule: a killed tiling job resumes at PARTITION granularity —
+    only the cells missing from the partition log are recomputed."""
+    import os
+    import shutil
+
+    from osm2gtfs_spark.functions.geo import cell_id
+    from osm2gtfs_spark.operators.spatial import tile_coverage
+    from osm2gtfs_spark.sources import tpch
+    from osm2gtfs_spark.sources.checkpoint import CheckpointCatalog
+    from pyspark.sql import functions as F
+
+    cat = CheckpointCatalog(spark, str(tmp_path / "ckpt"))
+    sf = "/root/testdata/sf0.001"
+
+    def tiling():
+        return tile_coverage(tpch.stops(spark, sf), res=3)
+
+    full = cat.run_partitioned_stage("tiles", tiling, "cell_id")
+    want = {(r.cell_id, r.n_points) for r in tiling().collect()}
+    assert {(r.cell_id, r.n_points) for r in full.collect()} == want
+
+    log1 = cat.committed_partitions("tiles")
+    assert set(log1) == {str(c) for c, _ in want}
+
+    # simulate a mid-tiling kill: two cells lose their commit record
+    # (and one also its data — a half-written partition)
+    victims = sorted(log1)[:2]
+    for v in victims:
+        os.remove(str(tmp_path / "ckpt" / "tiles" / "partlog" / f"{v}.json"))
+    shutil.rmtree(
+        str(tmp_path / "ckpt" / "tiles" / "data" / f"cell_id={victims[0]}"),
+        ignore_errors=True,
+    )
+
+    resumed = cat.run_partitioned_stage("tiles", tiling, "cell_id")
+    assert {(r.cell_id, r.n_points) for r in resumed.collect()} == want
+
+    log2 = cat.committed_partitions("tiles")
+    # survivors keep their original snapshot (NOT recomputed); victims got a new one
+    for v, rec in log1.items():
+        if v in victims:
+            assert log2[v]["snapshot_id"] != rec["snapshot_id"]
+        else:
+            assert log2[v]["snapshot_id"] == rec["snapshot_id"]
+        assert log2[v]["rows"] == rec["rows"]
+        assert log2[v]["checksum"] == rec["checksum"]
