@@ -102,6 +102,23 @@ def main() -> None:
     # reported separately so rounds stay comparable
     total = round(sum(timings.values()), 3)
     timings["gtfs_zip_sharded"] = zip_sec
+
+    # surface the latest N→4N scaling evidence (tools/scaling.py) so the
+    # per-round BENCH json carries it alongside BASELINE.md
+    scaling = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json")) as f:
+            sj = json.load(f)
+        scaling = {
+            pair: {
+                "throughput_N": v["throughput_rows_per_sec_N"],
+                "throughput_4N": v["throughput_rows_per_sec_4N"],
+                "efficiency": v["scaling_efficiency"],
+            }
+            for pair, v in sj.get("pairs", {}).items()
+        }
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -113,6 +130,7 @@ def main() -> None:
                 "gtfs_rows": gtfs_rows,
                 "gtfs_rows_per_sec": round(gtfs_rows / pipeline_sec, 1),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "scaling": scaling,
             }
         )
     )
