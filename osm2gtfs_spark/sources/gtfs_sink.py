@@ -146,9 +146,18 @@ def write_gtfs_zip(tables, zip_path: str, agency: dict | None = None, shards: in
     }
     if getattr(tables, "calendar_dates", None) is not None:
         members["calendar_dates.txt"] = tables.calendar_dates
-    files = []
-    for filename, df in members.items():
-        files.append(_write_csv(df, filename, out_dir, shards=shards))
+    # members are independent files: write them as concurrent Spark jobs
+    # (the scheduler interleaves their stages), then assemble the zip in
+    # sorted-name order — byte output is unaffected by write order
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(members)) as ex:
+        files = list(
+            ex.map(
+                lambda kv: _write_csv(kv[1], kv[0], out_dir, shards=shards),
+                members.items(),
+            )
+        )
     # agency.txt / feed_info.txt are config projections (S6)
     agency = agency or {"agency_id": "O", "agency_name": "Synthetic", "agency_url": "https://example.org", "agency_timezone": "UTC"}
     ag = os.path.join(out_dir, "agency.txt")
