@@ -733,6 +733,47 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "deterministic_sample",
+    """
+    -- reproducible uniform sample: keep iff the first 6 hex digits of
+    -- md5(key) land under the threshold — a pure function of the key,
+    -- stable across partition layouts, retries, and engines.
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 < 50
+    """,
+)
+def deterministic_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% uniform sample by key hash (operators/sampling.py) — the
+    layout-independent replacement for df.sample() in dataset builds."""
+    from osm2gtfs_spark.operators.sampling import deterministic_sample
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 50).select("doc_id", "lang")
+
+
+@register(
+    "stratified_sample",
+    """
+    -- per-language quota in deterministic hash order
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 docs per language in md5-hash order — deterministic
+    stratified sampling for balanced training mixes."""
+    from osm2gtfs_spark.operators.sampling import stratified_sample
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", "lang", 20).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------

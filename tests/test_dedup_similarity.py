@@ -249,3 +249,20 @@ def test_media_decode_corrupt_containers(spark):
     assert got["trunc.wav"][2] in (None, 0)   # no data chunk → 0 frames or NULL
     assert got["webpish.bin"] == (None, None, None)
     assert got["tiny.png"] == (None, None, None)
+
+
+def test_deterministic_sample_layout_invariant(spark, sf_dir):
+    """The hash-gated sample is identical regardless of partitioning —
+    the property df.sample() lacks."""
+    from osm2gtfs_spark.operators.sampling import deterministic_sample, stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id for r in deterministic_sample(d, "doc_id", 50).collect()}
+    b = {r.doc_id for r in deterministic_sample(d.repartition(17), "doc_id", 50).collect()}
+    assert a == b and 0 < len(a) < d.count()
+    sa = {(r.doc_id, r.lang) for r in stratified_sample(d, "doc_id", "lang", 5).collect()}
+    sb = {(r.doc_id, r.lang) for r in stratified_sample(d.repartition(17), "doc_id", "lang", 5).collect()}
+    assert sa == sb
+    import collections
+    per = collections.Counter(lang for _, lang in sa)
+    assert all(v <= 5 for v in per.values()) and len(per) > 1
