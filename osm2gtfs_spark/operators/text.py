@@ -75,3 +75,24 @@ def fingerprint_sql(text_expr: str) -> str:
     cat = ", ".join([f"{toks}[i + {j}]" for j in range(5)])
     sh = f"list_transform(range(1, GREATEST(LEN({toks}) - 4, 1) + 1), i -> concat_ws(' ', {cat}))"
     return f"list_aggregate(list_transform({sh}, s -> md5(s)), 'min')"
+
+
+def repetition_stats(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signal: per-doc permille share of the most
+    frequent word n-gram (duplicated boilerplate → high ratio).
+
+    Grams keep multiplicity (no dedup); the heavy lifting is
+    explode → two-level aggregate, all shuffle-keyed by doc_id — at
+    corpus scale each doc's grams stay in one partition group and the
+    map-side combine collapses repeats before the shuffle."""
+    toks = F.split(F.col(text_col), " ", -1)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    g = docs.select(F.col(doc_id), F.explode(grams).alias("g"))
+    c = g.groupBy(doc_id, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy(doc_id).agg(
+        F.floor(F.max("cnt") * 1000.0 / F.sum("cnt")).cast("long").alias("rep_permille")
+    )

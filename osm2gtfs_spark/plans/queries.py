@@ -779,6 +779,33 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "doc_repetition",
+    """
+    -- Gopher-style repetition quality signal: permille share of the
+    -- most frequent word 2-gram (multiplicity kept, unlike the dedup
+    -- shingles). concat_ws skips the NULL overhang on 1-token docs in
+    -- both engines.
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+     g AS (SELECT doc_id,
+                  UNNEST(list_transform(
+                    range(1, GREATEST(LEN(t) - 1, 1) + 1),
+                    i -> concat_ws(' ', t[i], t[i + 1]))) AS g
+           FROM toks),
+     c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(FLOOR(MAX(n) * 1000.0 / SUM(n)) AS BIGINT) AS rep_permille
+    FROM c GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (operators/text.repetition_stats): the
+    boilerplate/low-quality filter signal used by Gopher-style data
+    curation — share of the top 2-gram in each doc."""
+    d = tpch.load(spark, sf_dir, "documents")
+    return TXT.repetition_stats(d, n=2)
+
+
+@register(
     "lang_id",
     f"SELECT doc_id, {TXT.lang_id_sql('text')} AS pred_lang FROM documents",
 )
