@@ -62,29 +62,43 @@ def main() -> None:
     from osm2gtfs_spark.operators.spatial import tile_coverage
     from osm2gtfs_spark.sources.docs import decode_nodes
 
-    docs = D.docs_df(spark, BENCH_CITY, n_partitions=32).cache()
-    docs.count()
-    t0 = time.time()
-    tables = run_frequency_pipeline(docs)
-    # the six members + tile map materialize concurrently, as the zip
-    # sink would write them — Spark schedules independent jobs in
-    # parallel, so the driver latency of 7 sequential actions isn't
-    # charged to the pipeline
+    # median of 3 cold-cache runs (the box shows intermittent host-level
+    # interference with ±30%+ outliers — single-shot numbers are not
+    # reproducible; VERDICT r2 asked for a median-of-≥3 record). Each
+    # run clears the cache and rebuilds the docs table; JIT warmup from
+    # run 1 carries over, which applies equally to any re-run of this
+    # script. All samples are reported alongside the median.
     from concurrent.futures import ThreadPoolExecutor
 
-    outs = [
-        tables.stop_times,
-        tables.stops,
-        tables.routes,
-        tables.trips,
-        tables.shapes,
-        tables.frequencies,
-        tile_coverage(decode_nodes(docs), res=12),
-    ]
-    with ThreadPoolExecutor(max_workers=len(outs)) as ex:
-        counts = list(ex.map(lambda t: t.count(), outs))
+    samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        docs = D.docs_df(spark, BENCH_CITY, n_partitions=32).cache()
+        docs.count()
+        t0 = time.time()
+        # eager=True warms the deep shared chain (decode → dims → trips
+        # → stop_times) with one sequential action; without it the
+        # concurrent sink jobs below serialize on cold-cache block
+        # locks (r2 lesson: 18.2 s vs 13.9 s for the identical DAG)
+        tables = run_frequency_pipeline(docs, eager=True)
+        # the six members + tile map materialize concurrently, as the
+        # zip sink would write them — Spark schedules independent jobs
+        # in parallel, so the driver latency of 7 sequential actions
+        # isn't charged to the pipeline
+        outs = [
+            tables.stop_times,
+            tables.stops,
+            tables.routes,
+            tables.trips,
+            tables.shapes,
+            tables.frequencies,
+            tile_coverage(decode_nodes(docs), res=12),
+        ]
+        with ThreadPoolExecutor(max_workers=len(outs)) as ex:
+            counts = list(ex.map(lambda t: t.count(), outs))
+        samples.append(round(time.time() - t0, 3))
     gtfs_rows = sum(counts)
-    pipeline_sec = round(time.time() - t0, 3)
+    pipeline_sec = sorted(samples)[len(samples) // 2]
     timings["gtfs_pipeline"] = pipeline_sec
 
     # sharded deterministic sink: full zip write with 8 parallel ordered
@@ -127,6 +141,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "gtfs_pipeline_samples": samples,
                 "gtfs_rows": gtfs_rows,
                 "gtfs_rows_per_sec": round(gtfs_rows / pipeline_sec, 1),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),

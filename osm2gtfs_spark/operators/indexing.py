@@ -27,12 +27,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Below this many rows the two-phase machinery costs more than it saves:
+# a single-partition window over <=100k narrow rows is one ~10 MB sort
+# task (the same bound AQE uses to justify broadcasting a whole table),
+# while the two-phase plan adds two extra shuffles and ~4 AQE stage
+# rounds of driver latency. Measured at the bench city (2,750 rows,
+# local[32]): 0.45 s vs 2.2 s for bit-identical output.
+SMALL_INDEX_THRESHOLD = 100_000
+
+
 def global_index(
     df: DataFrame,
     order_cols: list[str],
     out_col: str = "gidx",
     bucket_cols: list[str] | None = None,
     start: int = 1,
+    small_threshold: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = global 1-based (or ``start``-based) row index
     under ``ORDER BY order_cols``, without a single-partition window
@@ -48,7 +58,20 @@ def global_index(
     window, one for the count aggregate (AQE-broadcast back), and a
     SinglePartition exchange over *one row per bucket* for the running
     offset. Null bucket keys are handled (null-safe join).
+
+    ``small_threshold``: runtime physical-plan choice in the AQE
+    spirit — when set, the input is counted and, if it holds at most
+    that many rows, indexed with a plain single-partition window
+    (bit-identical output, bounded by the threshold ≈ one sort task).
+    Only pass it when ``df`` is cached or cheap to compute: the count
+    is an extra action over the input. Callers that cannot bound the
+    input leave it ``None`` and always get the scale-safe plan.
     """
+    if small_threshold is not None and df.count() <= small_threshold:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(
+            out_col, (F.row_number().over(w) + F.lit(start - 1)).cast("long")
+        )
     bucket_cols = list(bucket_cols or order_cols[:1])
     local_w = Window.partitionBy(*bucket_cols).orderBy(*[F.col(c) for c in order_cols])
 

@@ -45,13 +45,12 @@ def verify_itineraries(itineraries: DataFrame, schedule: DataFrame) -> DataFrame
     refs = schedule.select(F.col("route_ref").alias("route_id")).distinct()
     bad = (
         itineraries.join(
-            F.broadcast(
-                schedule.select(
-                    "route_ref",
-                    F.col("from").alias("s_fr"),
-                    F.col("to").alias("s_to"),
-                    "stations",
-                )
+            # schedule rows scale with the corpus — AQE decides
+            schedule.select(
+                "route_ref",
+                F.col("from").alias("s_fr"),
+                F.col("to").alias("s_to"),
+                "stations",
             ),
             (F.col("route_id") == F.col("route_ref"))
             & (F.col("fr") == F.col("s_fr"))
@@ -90,7 +89,7 @@ def build_city_tables(
         "name", F.when(F.col("name") == "[station]", name_without).otherwise(F.col("name"))
     ).cache()
     stops_txt = (
-        stops.join(F.broadcast(parent_map), "stop_key", "left")
+        stops.join(parent_map, "stop_key", "left")
         .select(
             gtfs.py2_float_str("lon").alias("stop_lon"),
             F.col("name").alias("stop_name"),
@@ -147,13 +146,12 @@ def build_city_tables(
     itin_stops_named = (
         gtfs.itinerary_stops(rels_r)
         .join(stops.select("stop_key", "name"), "stop_key", "left")
-        .join(F.broadcast(parent_map), "stop_key", "left")
+        .join(parent_map, "stop_key", "left")
         .join(
-            F.broadcast(
-                stations.select(
-                    F.col("station_key").alias("parent_station"),
-                    F.col("name").alias("parent_name"),
-                )
+            # stations scale with the corpus like parent_map — AQE decides
+            stations.select(
+                F.col("station_key").alias("parent_station"),
+                F.col("name").alias("parent_name"),
             ),
             "parent_station",
             "left",

@@ -353,7 +353,9 @@ def build_florianopolis_tables(
     )
     shapes = (
         gtfs.build_shapes(relations, ways_r, nodes_r)
-        .join(F.broadcast(shape_owner), "itinerary_osm_id")
+        # one row per route ref — corpus-scaling, so AQE decides the
+        # join strategy (no forced broadcast)
+        .join(shape_owner, "itinerary_osm_id")
         .select(
             F.col("ref").alias("shape_id"),
             gtfs.py2_float_str("shape_pt_lat").alias("shape_pt_lat"),

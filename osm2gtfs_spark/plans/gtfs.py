@@ -410,7 +410,9 @@ def secs_to_gtfs(col):
     )
 
 
-def build_trips(lines: DataFrame, itineraries: DataFrame) -> DataFrame:
+def build_trips(
+    lines: DataFrame, itineraries: DataFrame, small_threshold: int | None = None
+) -> DataFrame:
     """Accra path: one trip per itinerary, with frequency/travel columns.
 
     Semantics (gh_accra/trips_creator_gh_accra.py:40-110):
@@ -434,6 +436,7 @@ def build_trips(lines: DataFrame, itineraries: DataFrame) -> DataFrame:
             itineraries.drop("route_id").join(line_dim, "line_osm_id"),
             ["route_id", "seq", "itinerary_osm_id"],
             "_trip_idx",
+            small_threshold=small_threshold,
         )
         .withColumn("direction_id", (F.row_number().over(itin_order) - 1) % 2)
         .withColumn("trip_id", F.col("_trip_idx").cast("string"))

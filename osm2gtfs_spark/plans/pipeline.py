@@ -13,7 +13,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from osm2gtfs_spark.operators.indexing import global_index
+from osm2gtfs_spark.operators.indexing import SMALL_INDEX_THRESHOLD, global_index
 from osm2gtfs_spark.plans import gtfs
 from osm2gtfs_spark.sources import docs as docs_mod
 
@@ -36,14 +36,26 @@ def run_frequency_pipeline(
     feed_start: str = "20240101",
     feed_end: str = "20250101",
     persist: bool = True,
+    eager: bool = False,
 ) -> GtfsTables:
     """docs → decoded entities → GTFS tables via the frequency path.
 
     ``persist=True`` caches the stages consumed by multiple sinks
-    (decoded entities, trips) — the GTFS DAG fans out into 6+ output
-    tables, and without this every sink re-runs the decode and joins.
-    On a cluster these become checkpoint table writes instead
-    (sources/checkpoint.py), which also give resume."""
+    (decoded entities, stops, lines, itineraries, trips) — the GTFS DAG
+    fans out into 6+ output tables, and without this every sink re-runs
+    the decode and joins. On a cluster these become checkpoint table
+    writes instead (sources/checkpoint.py), which also give resume.
+
+    ``eager=True`` materializes the deepest shared chain (stop_times,
+    which pulls decode → lines/itineraries → trips through their
+    caches) with ONE sequential action before returning. Callers that
+    fan out into concurrent sink jobs (bench.py, the zip sink) want
+    this: concurrent actions over a *cold* cache chain serialize on the
+    block-manager's per-partition cache locks (each thread blocks while
+    another computes the block), so warming the contended chain once and
+    letting only the independent subtrees (stops, shapes, tiles) race is
+    strictly faster. Independent subtrees are intentionally NOT warmed —
+    they parallelize cleanly across the sink jobs."""
     nodes = docs_mod.decode_nodes(docs)
     ways = docs_mod.decode_ways(docs)
     relations = docs_mod.decode_relations(docs)
@@ -53,12 +65,21 @@ def run_frequency_pipeline(
     stops = gtfs.build_stops(nodes, ways, name_without)
     stations, parent_map = gtfs.build_stations(relations, stops)
     lines, itineraries = gtfs.build_lines(relations)
+    if persist:
+        # lines feeds trips + routes_final; itineraries feeds the
+        # double-scanned global_index input; stops feeds stations +
+        # stops_final — all multi-consumer dims (MEMORY_AND_DISK, spills)
+        stops, lines, itineraries = stops.cache(), lines.cache(), itineraries.cache()
     itin_stops = gtfs.itinerary_stops(relations)
     shapes = gtfs.build_shapes(relations, ways, nodes).withColumn(
         "shape_id",
         F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
     )
-    trips_full = gtfs.build_trips(lines, itineraries)
+    # the count behind small_threshold is cheap only when itineraries is
+    # cached (persist path); uncached callers always get the 2-phase plan
+    trips_full = gtfs.build_trips(
+        lines, itineraries, small_threshold=SMALL_INDEX_THRESHOLD if persist else None
+    )
     if persist:
         trips_full = trips_full.cache()
     frequencies = gtfs.build_frequencies(trips_full)
@@ -68,7 +89,7 @@ def run_frequency_pipeline(
     trips = trips_full.drop("itinerary_osm_id", "frequency_min", "travel_min")
 
     stops_final = gtfs.prune_unused_stops(stops, stop_times).join(
-        F.broadcast(parent_map), "stop_key", "left"
+        parent_map, "stop_key", "left"
     )
     routes_final = gtfs.prune_unused_routes(lines, trips).select(
         "route_id",
@@ -83,6 +104,8 @@ def run_frequency_pipeline(
         "service_id string, monday int, tuesday int, wednesday int, thursday int,"
         " friday int, saturday int, sunday int, start_date string, end_date string",
     )
+    if eager and persist:
+        stop_times.count()  # warms decode → dims → trips_full → stop_times
     return GtfsTables(
         stops=stops_final,
         routes=routes_final,
@@ -147,7 +170,7 @@ def run_frequency_pipeline_checkpointed(
     stops_final = cat.run_stage(
         "stops_final",
         lambda: gtfs.prune_unused_stops(stops, stop_times).join(
-            F.broadcast(parent_map), "stop_key", "left"
+            parent_map, "stop_key", "left"
         ),
         ["stops", "stop_times", "parent_map"],
     )
@@ -204,6 +227,9 @@ def run_schedule_pipeline(
     stops = gtfs.build_stops(nodes, ways, name_without)
     stations, parent_map = gtfs.build_stations(relations, stops)
     lines, itineraries = gtfs.build_lines(relations)
+    if persist:
+        # same multi-consumer dims as the frequency path
+        stops, lines, itineraries = stops.cache(), lines.cache(), itineraries.cache()
     itin_stops = gtfs.itinerary_stops(relations)
     shapes = gtfs.build_shapes(relations, ways, nodes).withColumn(
         "shape_id",
@@ -213,13 +239,12 @@ def run_schedule_pipeline(
     # stop rows with name + parent-station name (J7 fallback input)
     itin_stops_named = (
         itin_stops.join(stops.select("stop_key", "name"), "stop_key", "left")
-        .join(F.broadcast(parent_map), "stop_key", "left")
+        .join(parent_map, "stop_key", "left")
         .join(
-            F.broadcast(
-                stations.select(
-                    F.col("station_key").alias("parent_station"),
-                    F.col("name").alias("parent_name"),
-                )
+            # stations scale with the corpus like parent_map — AQE decides
+            stations.select(
+                F.col("station_key").alias("parent_station"),
+                F.col("name").alias("parent_name"),
             ),
             "parent_station",
             "left",
@@ -252,6 +277,7 @@ def run_schedule_pipeline(
             ),
             ["route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"],
             "_trip_idx",
+            small_threshold=SMALL_INDEX_THRESHOLD if persist else None,
         )
         .withColumn("trip_id", F.col("_trip_idx").cast("string"))
         .select(
@@ -300,7 +326,7 @@ def run_schedule_pipeline(
         per_service.select("service"), feed_start, feed_end
     )
     stops_final = gtfs.prune_unused_stops(stops, stop_times).join(
-        F.broadcast(parent_map), "stop_key", "left"
+        parent_map, "stop_key", "left"
     )
     routes_final = gtfs.prune_unused_routes(lines, trips).select(
         "route_id",

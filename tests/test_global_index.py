@@ -68,6 +68,24 @@ def _single_partition_inputs(df) -> list[list[str]]:
     return out
 
 
+def test_small_threshold_identical_output(spark):
+    """The runtime small-input fallback (single bounded window) must be
+    bit-identical to the two-phase plan, and must NOT fire when the
+    input exceeds the threshold."""
+    df = _mk(spark, 300)
+    two_phase = global_index(df, ["bucket", "sub", "payload"], "idx")
+    small = global_index(df, ["bucket", "sub", "payload"], "idx", small_threshold=1000)
+    assert small.schema == two_phase.schema  # both long-typed idx
+    assert small.exceptAll(two_phase).count() == 0
+    assert two_phase.exceptAll(small).count() == 0
+    # over-threshold input keeps the scale-safe plan (no global sort of
+    # the data into one partition)
+    big = global_index(df, ["bucket", "sub", "payload"], "idx", small_threshold=100)
+    big.count()
+    for cols in _single_partition_inputs(big):
+        assert "payload" not in cols and "sub" not in cols, cols
+
+
 def test_no_row_scale_single_partition_exchange(spark):
     df = _mk(spark, 2000)
     got = global_index(df, ["bucket", "sub", "payload"], "idx")

@@ -9,9 +9,13 @@ spark = build_session("bench-pipe")
 spark.sparkContext.setLogLevel("ERROR")
 docs = D.docs_df(spark, D.CitySpec(n_lines=1500, variants_per_line=2, stops_per_variant=12), n_partitions=32).cache()
 docs.count()
+from concurrent.futures import ThreadPoolExecutor
+
 t0 = time.time()
-tables = run_frequency_pipeline(docs)
-n = (tables.stop_times.count() + tables.stops.count() + tables.routes.count()
-     + tables.trips.count() + tables.shapes.count() + tables.frequencies.count())
+tables = run_frequency_pipeline(docs, eager=True)
+outs = [tables.stop_times, tables.stops, tables.routes, tables.trips,
+        tables.shapes, tables.frequencies]
+with ThreadPoolExecutor(max_workers=len(outs)) as ex:
+    n = sum(ex.map(lambda t: t.count(), outs))
 print(f"pipeline_sec={time.time()-t0:.2f} rows={n}")
 spark.stop()
