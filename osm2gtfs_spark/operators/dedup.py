@@ -283,4 +283,13 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # exhausted max_iters with labels still moving: the labels are
+        # NOT a fixed point (split components) — refuse to return them
+        # silently (a pathological long-diameter graph should fail
+        # loudly, not corrupt the keeper selection downstream)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))

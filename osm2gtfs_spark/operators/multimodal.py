@@ -137,16 +137,22 @@ def _parse_wav(b: bytes):
     # RIFF/WAVE: walk chunks for fmt (channels, bits) + data size
     if len(b) < 44 or b[8:12] != b"WAVE":
         return None
-    pos, channels, bits, data_len = 12, 1, 8, 0
+    pos, channels, bits, data_len, audio_fmt = 12, 1, 8, 0, 1
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         clen = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         if cid == b"fmt " and pos + 24 <= len(b):
+            audio_fmt = struct.unpack("<H", b[pos + 8 : pos + 10])[0]
             channels = struct.unpack("<H", b[pos + 10 : pos + 12])[0] or 1
             bits = struct.unpack("<H", b[pos + 22 : pos + 24])[0] or 8
         elif cid == b"data":
             data_len = clen
         pos += 8 + clen + (clen % 2)
+    # frame math below assumes whole-byte PCM samples; compressed
+    # codecs (ADPCM etc.) and sub-byte widths would yield a bogus
+    # byte-count-as-frames number — NULL dims instead
+    if audio_fmt != 1 or bits < 8:
+        return None
     frames = data_len // max(1, channels * (bits // 8))
     # audio: width=channels, height=bits, n_frames = sample frames
     return int(channels), int(bits), int(min(frames, 2**31 - 1))

@@ -87,9 +87,12 @@ def repetition_stats(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "t
     map-side combine collapses repeats before the shuffle."""
     toks = F.split(F.col(text_col), " ", -1)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    # F.get is NULL-on-overrun under both ANSI modes (element_at throws
+    # INVALID_ARRAY_INDEX under ANSI-on for docs shorter than n tokens);
+    # F.get is 0-based, the sequence is 1-based
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(n)]),
     )
     g = docs.select(F.col(doc_id), F.explode(grams).alias("g"))
     c = g.groupBy(doc_id, "g").agg(F.count(F.lit(1)).alias("cnt"))

@@ -64,6 +64,12 @@ def run_frequency_pipeline(
 
     stops = gtfs.build_stops(nodes, ways, name_without)
     stations, parent_map = gtfs.build_stations(relations, stops)
+    if persist:
+        # double-precision centroid aggregation merges shuffle partials
+        # in task-completion order — recomputing stations per sink can
+        # wobble the last ulp; caching pins one materialization (and
+        # stations/parent_map are multi-consumer anyway)
+        stations, parent_map = stations.cache(), parent_map.cache()
     lines, itineraries = gtfs.build_lines(relations)
     if persist:
         # lines feeds trips + routes_final; itineraries feeds the
@@ -226,6 +232,12 @@ def run_schedule_pipeline(
 
     stops = gtfs.build_stops(nodes, ways, name_without)
     stations, parent_map = gtfs.build_stations(relations, stops)
+    if persist:
+        # double-precision centroid aggregation merges shuffle partials
+        # in task-completion order — recomputing stations per sink can
+        # wobble the last ulp; caching pins one materialization (and
+        # stations/parent_map are multi-consumer anyway)
+        stations, parent_map = stations.cache(), parent_map.cache()
     lines, itineraries = gtfs.build_lines(relations)
     if persist:
         # same multi-consumer dims as the frequency path

@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -198,9 +199,19 @@ class CheckpointCatalog:
                     "snapshot_id": snap,
                     "inputs": inputs or [],
                 }
-                path = os.path.join(self._partlog_dir(stage), f"{r._v}.json")
+                # the partition VALUE is data — percent-encode it for the
+                # filename (mirrors hive partition-dir escaping) so '/',
+                # '..' etc. cannot escape the partlog dir; resume reads
+                # the value back from the record body, not the filename
+                safe = urllib.parse.quote(str(r._v), safe="")
+                path = os.path.join(self._partlog_dir(stage), f"{safe}.json")
                 tmp = path + ".tmp"
                 with open(tmp, "w") as f:
                     json.dump(rec, f)
                 os.replace(tmp, path)
+        if not os.path.exists(data):
+            # first run with an empty stage output: nothing was written,
+            # so return an empty frame of the stage schema instead of
+            # letting read() fail on a missing parquet path
+            return self.spark.createDataFrame([], df.schema)
         return self.read(stage)

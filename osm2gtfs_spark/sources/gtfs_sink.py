@@ -237,11 +237,15 @@ def validate_feed(tables) -> DataFrame:
         "time_travel_in_trip": timed.withColumn("_pd", prev_dep).filter(
             F.col("a").isNotNull() & (F.col("_pd") > F.col("a"))
         ),
+        # GTFS permits any non-negative increasing sequence (0-based is
+        # legal), so only duplicates and negatives are spec violations;
+        # the 1-based density the reference emitter writes is a sink
+        # convention asserted by the golden-parity tests, not here
         "bad_stop_sequence": st.groupBy("trip_id")
         .agg(
             (
                 (F.count(F.lit(1)) != F.count_distinct(F.col("stop_sequence").cast("long")))
-                | (F.min(F.col("stop_sequence").cast("long")) < 1)
+                | (F.min(F.col("stop_sequence").cast("long")) < 0)
             ).alias("bad")
         )
         .filter("bad"),
@@ -281,8 +285,19 @@ def validate_feed(tables) -> DataFrame:
     freqs = getattr(tables, "frequencies", None)
     if freqs is not None:
         checks["bad_headway"] = freqs.filter(F.col("headway_secs").cast("long") <= 0)
-    rows = [(k, df.count()) for k, df in checks.items()]
-    return spark.createDataFrame(rows, "check string, n_bad long")
+    # ONE job, not one driver action per check (VERDICT r2 item 3: 14
+    # sequential scans of stop_times-scale tables): every check becomes
+    # a single-row global aggregate and the union materializes them all
+    # in a single action — independent union branches run concurrently
+    # inside the job, and shared inputs (stop_times, stops) are cached
+    # by the pipelines so the branches hit memory, not source scans.
+    out = None
+    for k, df in checks.items():
+        one = df.agg(F.count(F.lit(1)).alias("n_bad")).select(
+            F.lit(k).alias("check"), "n_bad"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 def transitfeed_csv_bytes(header: list[str], rows) -> bytes:

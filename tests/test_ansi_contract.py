@@ -19,6 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry_mod
 
 
+def test_repetition_stats_ansi_neutral_direct_call(spark):
+    """ADVICE r2: the operator itself (not just the wrapped entry) must
+    survive ANSI-on for docs shorter than the n-gram width — F.get
+    returns NULL past the array end under both modes."""
+    from osm2gtfs_spark.operators.text import repetition_stats
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame([("d1", "one"), ("d2", "a a b")], "doc_id string, text string")
+        got = {r.doc_id: r.rep_permille for r in repetition_stats(df, n=2).collect()}
+        assert got["d1"] == 1000  # single overhang gram
+        assert got["d2"] == 500   # 'a a' once of 2 grams
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_survives_ansi_on_session(spark, sf_dir, name):
     spark.conf.set("spark.sql.ansi.enabled", "true")

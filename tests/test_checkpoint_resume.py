@@ -68,6 +68,34 @@ def test_manifest_lineage_metrics(spark, catalog):
     assert st["row_count"] > 0 and st["schema"].startswith("struct<")
 
 
+def test_partlog_path_chars_and_empty_stage(spark, tmp_path):
+    """ADVICE r2: partition values containing path-reserved characters
+    must not escape the partlog dir, and a first run whose output is
+    empty must return an empty frame, not fail on a missing path."""
+    import os
+
+    from osm2gtfs_spark.sources.checkpoint import CheckpointCatalog
+    from pyspark.sql import functions as F
+
+    cat = CheckpointCatalog(spark, str(tmp_path / "ckpt"))
+    df = spark.createDataFrame(
+        [("a/../..", 1), ("plain", 2)], "tile string, v int"
+    )
+    out = cat.run_partitioned_stage("weird", lambda: df, "tile")
+    assert {(r.tile, r.v) for r in out.collect()} == {("a/../..", 1), ("plain", 2)}
+    logdir = str(tmp_path / "ckpt" / "weird" / "partlog")
+    names = set(os.listdir(logdir))
+    # percent-encoding leaves no raw separators, so every record stays a
+    # direct child of partlog/ (".." without a slash is a plain filename)
+    assert names == {"a%2F..%2F...json", "plain.json"}
+    # resume skips both committed values (keyed by record body, not filename)
+    assert set(cat.committed_partitions("weird")) == {"a/../..", "plain"}
+
+    empty = spark.createDataFrame([], "tile string, v int")
+    out2 = cat.run_partitioned_stage("void", lambda: empty, "tile")
+    assert out2.count() == 0 and out2.schema == empty.schema
+
+
 def test_mid_tiling_partition_resume(spark, tmp_path):
     """North rule: a killed tiling job resumes at PARTITION granularity —
     only the cells missing from the partition log are recomputed."""

@@ -57,6 +57,39 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
     assert recall >= 0.5, f"LSH recall@5 too low: {recall:.2f}"
 
 
+def test_lsh_hot_bucket_cap_subquadratic(spark):
+    """VERDICT r2 item 2: on a skewed corpus (one dominant direction)
+    the hot-bucket cap must keep the candidate-pair count sub-quadratic.
+    threshold=-1 turns embedding_near_dup into a candidate-set probe
+    (every candidate passes), so the public API is what's measured."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in base]) for i in range(300)]  # hot direction
+    rows += [(300 + i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    uncapped = SIM.embedding_near_dup(df, dim=16, threshold=-1.0, max_bucket=None).count()
+    capped = SIM.embedding_near_dup(df, dim=16, threshold=-1.0, max_bucket=50).count()
+    assert uncapped >= 300 * 299 // 2, "skew setup must be quadratic without the cap"
+    assert capped < 25_000, f"cap failed: {capped} candidate pairs"
+    assert capped < uncapped / 2
+
+
+def test_auto_n_planes_sizing():
+    """Bucket-count sizing rule: expected bucket ≈ TARGET_BUCKET_ROWS."""
+    assert SIM.auto_n_planes(500) == 4  # gate corpus keeps r2 behavior
+    assert SIM.auto_n_planes(10**6) == 15
+    assert SIM.auto_n_planes(10**9) == 24  # capped
+    assert SIM.auto_n_planes(1) == 4
+
+
+def test_auto_planes_matches_explicit_at_gate_scale(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    explicit = SIM.cosine_topk_lsh(q, emb, dim=64, k=5, n_planes=4)
+    auto = SIM.cosine_topk_lsh(q, emb, dim=64, k=5, n_planes=None)
+    assert explicit.exceptAll(auto).count() == 0
+    assert auto.exceptAll(explicit).count() == 0
+
+
 def test_bruteforce_topk_matches_numpy(emb):
     pdf = emb.toPandas()
     mat = np.vstack(pdf.embedding.values).astype(np.float64)
@@ -234,6 +267,38 @@ def test_connected_components_chain_and_cliques(spark):
     assert all(got[100 + i] == 100 for i in range(4))
     assert got[500] == got[501] == 500
     assert len(got) == 31 + 4 + 2
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r2: exhausting max_iters with labels still moving must be
+    an error, not silently-split components."""
+    chain = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iters=1)
+
+
+def test_wav_non_pcm_and_subbyte_null(spark):
+    """ADVICE r2: non-PCM codecs / sub-byte sample widths get NULL dims
+    (the frame math assumes whole-byte PCM), not a bogus frame count."""
+    import struct
+
+    def wav(audio_fmt, channels, bits, data=b"\x00" * 64):
+        fmt = struct.pack("<HHIIHH", audio_fmt, channels, 8000, 8000, 1, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [
+        ("a", "pcm.wav", bytearray(wav(1, 2, 16))),
+        ("b", "adpcm.wav", bytearray(wav(2, 1, 4))),   # ADPCM, 4-bit
+        ("c", "float.wav", bytearray(wav(3, 1, 32))),  # IEEE float codec
+    ]
+    media = spark.createDataFrame(rows, "doc_id string, media_ref string, media_blob binary")
+    got = {r.media_ref: (r.width, r.height, r.n_frames) for r in MM.decode_media(media, fake=False).collect()}
+    assert got["pcm.wav"] == (2, 16, 16)  # 64 bytes / (2ch*2B)
+    assert got["adpcm.wav"] == (None, None, None)
+    assert got["float.wav"] == (None, None, None)
 
 
 def test_media_decode_corrupt_containers(spark):
