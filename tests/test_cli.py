@@ -1,0 +1,115 @@
+"""Config-driven CLI (reference osm2gtfs.py:30-99 front door).
+
+The strongest check: the Accra golden driven END-TO-END through the CLI
+— reference config schema in, byte-parity zip out. Plus the factory
+selector precedence and the --refresh-* → checkpoint invalidation map.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import zipfile
+
+import pytest
+
+from osm2gtfs_spark import cli
+
+FIX = "/root/reference/osm2gtfs/tests/creators/fixtures"
+GOLDEN = f"{FIX}/gh_accra/gh_accra_gtfs.zip.ref"
+
+
+def _args(argv):
+    return cli.build_parser().parse_args(argv)
+
+
+def test_selector_precedence_mirrors_factory():
+    assert cli.resolve_selector({"selector": "gh_accra"}) == "gh_accra"
+    assert cli.resolve_selector({"selector": "br_florianopolis"}) == "br_florianopolis"
+    # ImportError → Default path: unknown selector falls back
+    assert cli.resolve_selector({"selector": "xx_nowhere"}) == "default"
+    assert cli.resolve_selector({}) == "default"
+
+
+def test_refresh_flag_stage_groups():
+    assert cli._refresh_stages(_args(["-c", "x", "--refresh-stops"])) == cli.STOP_STAGES
+    assert cli._refresh_stages(_args(["-c", "x", "--refresh-routes"])) == cli.ROUTE_STAGES
+    both = cli._refresh_stages(_args(["-c", "x", "--refresh-osm"]))
+    assert set(both) == set(cli.ROUTE_STAGES) | set(cli.STOP_STAGES)
+    assert cli._refresh_stages(_args(["-c", "x", "--refresh-all"])) == sorted(
+        set(cli.ROUTE_STAGES + cli.STOP_STAGES + cli.SCHEDULE_STAGES)
+    )
+    assert cli._refresh_stages(_args(["-c", "x"])) == []
+
+
+def test_output_precedence(tmp_path):
+    cfg = {"output_file": "from_config.zip"}
+    assert cli._output_path(_args(["-c", "x", "-o", "cli.zip"]), cfg) == "cli.zip"
+    assert cli._output_path(_args(["-c", "x"]), cfg) == "from_config.zip"
+    with pytest.raises(SystemExit):
+        cli._output_path(_args(["-c", "x"]), {})
+
+
+def test_cli_docs_parquet_scalable_path(spark, tmp_path):
+    """The corpus-scale front door: an interleaved docs parquet table in,
+    the sharded distributed sink out."""
+    from osm2gtfs_spark.sources import docs as D
+
+    docs_path = str(tmp_path / "docs")
+    D.docs_df(spark, D.CitySpec(n_lines=2)).write.parquet(docs_path)
+    config = {
+        "inputs": {"docs_parquet": docs_path},
+        "stops": {"name_without": "stop"},
+        "agency": {"agency_id": "X", "agency_name": "X", "agency_url": "u", "agency_timezone": "UTC"},
+        "output_file": str(tmp_path / "generic.zip"),
+        "sink_shards": 2,
+    }
+    cfg_path = tmp_path / "c.json"
+    cfg_path.write_text(json.dumps(config))
+    out = cli.run(_args(["-c", str(cfg_path)]), spark=spark)
+    with zipfile.ZipFile(out) as z:
+        assert {"stops.txt", "routes.txt", "trips.txt", "stop_times.txt"} <= set(z.namelist())
+        assert len(z.read("stop_times.txt").splitlines()) > 1
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference fixtures not available")
+def test_cli_accra_golden_end_to_end(spark, tmp_path):
+    """osm2gtfs_spark -c accra.json → zip whose members are byte-size +
+    line-multiset equal to the committed reference golden."""
+    config = {
+        "selector": "gh_accra",
+        "query": {"tags": {"route": "bus"}},
+        "stops": {"name_without": "Add a name to the stop with JungleBus app", "name_auto": "yes"},
+        "agency": {
+            "agency_id": "AM3",
+            "agency_name": "Accra Tro tro",
+            "agency_url": "https://ama.gov.gh/welcome/transport/",
+            "agency_timezone": "Africa/Accra",
+            "agency_lang": "en",
+        },
+        "feed_info": {"start_date": "20170901", "end_date": "20180730"},
+        "inputs": {
+            "stops_xml": f"{FIX}/gh_accra/overpass-stops.xml",
+            "routes_xml": f"{FIX}/gh_accra/overpass-routes.xml",
+        },
+        "output_file": str(tmp_path / "gh-accra.zip"),
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+
+    out = cli.run(_args(["-c", str(cfg_path)]), spark=spark)
+    assert out == config["output_file"]
+
+    with zipfile.ZipFile(out) as ours, zipfile.ZipFile(GOLDEN) as gold:
+        gold_names = set(gold.namelist())
+        assert set(ours.namelist()) >= gold_names - {"feed_info.txt"}
+        for name in sorted(gold_names):
+            if name == "feed_info.txt":
+                continue  # reference golden carries none for Accra
+            a, b = ours.read(name), gold.read(name)
+            assert len(a) == len(b), f"{name}: size {len(a)} != golden {len(b)}"
+            diff = (collections.Counter(a.split(b"\r\n")) - collections.Counter(b.split(b"\r\n"))) + (
+                collections.Counter(b.split(b"\r\n")) - collections.Counter(a.split(b"\r\n"))
+            )
+            assert not diff, f"{name}: {sum(diff.values())} differing lines {list(diff)[:2]}"
