@@ -65,6 +65,18 @@ _WIDE_SELECTOR_RE = re.compile(
 )
 _OFF_RE = re.compile(r"\b(?:off|closed)\s*$", re.IGNORECASE)
 
+# variable times (opening_hours grammar): GTFS frequency windows need
+# fixed clock times, so sunrise/dawn and sunset/dusk collapse to civil
+# defaults. A real solar ephemeris needs lat/lon + calendar date, which
+# a weekly service window doesn't carry — the fixed substitution is the
+# documented engine policy (the reference's transporthours path has no
+# defined behavior here; its feeds never exercise variable times).
+_VARIABLE_TIMES = {"sunrise": "06:00", "dawn": "06:00", "sunset": "18:00", "dusk": "18:00"}
+_VARIABLE_RE = re.compile(r"\b(sunrise|sunset|dawn|dusk)\b", re.IGNORECASE)
+
+# holiday selectors carry no weekday: PH (public) and SH (school)
+_HOLIDAY_TOKENS = frozenset({"PH", "SH"})
+
 
 def _strip_wide_selectors(rule: str) -> str:
     while True:
@@ -75,18 +87,26 @@ def _strip_wide_selectors(rule: str) -> str:
 
 
 def parse_interval_secs(s: str | None) -> int | None:
-    """'HH:MM[:SS]' or plain minutes → seconds; None/garbage → None."""
+    """'HH:MM[:SS]' or plain minutes → seconds; None/garbage → None.
+
+    Interval LISTS ('00:15; 00:10' or '00:15,00:10') take the first
+    parseable entry — the list head is the base headway, later entries
+    belong with interval:conditional conditions the tagger omitted."""
     if not s:
         return None
-    s = s.strip()
-    m = _TIME_RE.match(s)
-    if m:
-        h, mi, sec = int(m.group(1)), int(m.group(2)), int(m.group(3) or 0)
-        return h * 3600 + mi * 60 + sec
-    try:
-        return int(float(s) * 60)
-    except ValueError:
-        return None
+    for part in re.split(r"[;,]", s):
+        part = part.strip()
+        if not part:
+            continue
+        m = _TIME_RE.match(part)
+        if m:
+            h, mi, sec = int(m.group(1)), int(m.group(2)), int(m.group(3) or 0)
+            return h * 3600 + mi * 60 + sec
+        try:
+            return int(float(part) * 60)
+        except ValueError:
+            return None
+    return None
 
 
 def _time_to_min(t: str) -> int:
@@ -100,7 +120,7 @@ def _parse_days(spec: str) -> frozenset[int]:
     saw_token = False
     for token in spec.split(","):
         token = token.strip()
-        if not token or token == "PH":
+        if not token or token in _HOLIDAY_TOKENS:
             continue
         saw_token = True
         if "-" in token:
@@ -128,7 +148,7 @@ def _parse_rules(s: str | None) -> list[tuple[frozenset[int], list[tuple[int, in
     and 'week N-M' selectors (treated as always-active)."""
     if not s:
         return []
-    s = s.strip()
+    s = _VARIABLE_RE.sub(lambda m: _VARIABLE_TIMES[m.group(1).lower()], s.strip())
     if s == "24/7":
         return [(ALL_DAYS, [(0, 24 * 60)], False)]
     rules: list[tuple[frozenset[int], list[tuple[int, int]], bool]] = []
@@ -149,8 +169,8 @@ def _parse_rules(s: str | None) -> list[tuple[frozenset[int], list[tuple[int, in
         if _OFF_RE.search(rule):
             day_part = _OFF_RE.sub("", rule).strip().rstrip(",").strip()
             tokens = [t.strip() for t in day_part.split(",") if t.strip()]
-            if tokens and all(t == "PH" for t in tokens):
-                continue  # 'PH off': no weekday affected
+            if tokens and all(t in _HOLIDAY_TOKENS for t in tokens):
+                continue  # 'PH off' / 'SH off': no weekday affected
             rules.append((_parse_days(day_part), [], True))
             continue
         first_span = _SPAN_RE.search(rule)

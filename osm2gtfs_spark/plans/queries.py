@@ -1162,6 +1162,56 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "media_ref", "width", "height", "n_frames")
 
 
+@register(
+    "media_decode_meta_real",
+    """
+    -- the Spark side CONSTRUCTS real PNG/BMP header bytes with dims
+    -- derived from (doc_id, n_chars) arithmetic, then parses them back
+    -- through the REAL stdlib byte decoder (decode_media(fake=False)).
+    -- The oracle predicts the parser's output from the same arithmetic
+    -- — any error in the byte construction (endianness, offsets) or in
+    -- the parser (IHDR/BITMAPINFOHEADER offsets) breaks the hash.
+    SELECT concat('doc/', CAST(doc_id AS VARCHAR)) AS doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+           CAST(1 + (doc_id * 7 + n_chars) % 199 AS INT) AS width,
+           CAST(1 + (doc_id * 13 + n_chars) % 149 AS INT) AS height,
+           CAST(1 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def media_decode_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-bytes media gate (VERDICT r2 'what's missing' #3): build
+    deterministic PNG signatures/IHDR and BMP BITMAPINFOHEADER bytes
+    JVM-side (hex math + unhex — dims ≤ 255 so little-endian fields are
+    one significant byte), decode them with the real mapInPandas parser,
+    and emit the parsed dims. PNG exercises big-endian IHDR at offset
+    16; BMP exercises little-endian fields at offset 18."""
+    d = tpch.load(spark, sf_dir, "documents")
+    w = 1 + (F.col("doc_id") * 7 + F.col("n_chars")) % 199
+    h = 1 + (F.col("doc_id") * 13 + F.col("n_chars")) % 149
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+    )
+    bmp_hex = F.concat(
+        F.lit("424D" + "00" * 16),
+        F.lpad(F.hex(w), 2, "0"),
+        F.lit("000000"),
+        F.lpad(F.hex(h), 2, "0"),
+        F.lit("000000"),
+    )
+    media = d.select(
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("png")).otherwise(F.lit("bmp")).alias("media_ref"),
+        F.unhex(F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(bmp_hex)).alias("media_blob"),
+    )
+    meta = MM.decode_media(media, fake=False)
+    return meta.select(
+        "doc_id", F.col("media_ref").alias("fmt"), "width", "height", "n_frames"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew family: adaptive cell-resolution splitting (north rule)
 # ---------------------------------------------------------------------------

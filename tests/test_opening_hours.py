@@ -334,6 +334,39 @@ def test_selector_directly_before_timespan():
     assert tags_to_windows("May 10:00-12:00", "00:30")[0]["start_secs"] == 10 * 3600
 
 
+def test_sunrise_sunset_variable_times():
+    """VERDICT r2 gap: variable times collapse to the documented civil
+    defaults (sunrise/dawn=06:00, sunset/dusk=18:00)."""
+    assert tags_to_windows("Mo-Fr sunrise-sunset", "00:30") == tags_to_windows(
+        "Mo-Fr 06:00-18:00", "00:30"
+    )
+    assert tags_to_windows("Sa dawn-12:00", "00:15") == tags_to_windows(
+        "Sa 06:00-12:00", "00:15"
+    )
+    assert tags_to_windows("Su 10:00-dusk", "00:15") == tags_to_windows(
+        "Su 10:00-18:00", "00:15"
+    )
+
+
+def test_sh_school_holiday_selector():
+    """VERDICT r2 gap: SH carries no weekday — ignored in day lists and
+    'SH off' is a no-op, exactly like PH."""
+    base = tags_to_windows("Mo-Fr 06:00-20:00", "00:30")
+    assert tags_to_windows("Mo-Fr,SH 06:00-20:00", "00:30") == base
+    assert tags_to_windows("Mo-Fr 06:00-20:00; SH off", "00:30") == base
+    assert tags_to_windows("Mo-Fr 06:00-20:00; PH,SH off", "00:30") == base
+
+
+def test_interval_list_takes_head():
+    """VERDICT r2 gap: interval lists — first parseable entry wins."""
+    assert parse_interval_secs("00:15; 00:10") == 900
+    assert parse_interval_secs("00:15,00:10") == 900
+    assert parse_interval_secs(" ; 12") == 720
+    assert parse_interval_secs("garbage; 00:10") is None  # head decides
+    base = tags_to_windows("Mo-Fr 06:00-20:00", "00:15")
+    assert tags_to_windows("Mo-Fr 06:00-20:00", "00:15; 00:30") == base
+
+
 def test_date_scoped_off_is_noop():
     """Review regression: 'Dec 25 off' is a calendar exception, not a
     weekly clear — must not wipe the weekly service."""
