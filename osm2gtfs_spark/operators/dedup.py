@@ -293,3 +293,42 @@ def connected_components(
             f"({changed} labels still changing); raise max_iters"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_shingle_docs: int | None = 100,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many distinct word
+    n-grams it shares with ANY benchmark doc (eval-set leakage signal).
+
+    Returns (doc_id, n_overlap) for corpus docs with ≥1 shared shingle.
+
+    Scale shape: explode both sides' distinct shingles, equi join on the
+    shingle string, count distinct per corpus doc — never a doc×doc
+    pair join. ``max_shingle_docs`` drops shingles present in more than
+    that many BENCHMARK docs (stopword-gram guard, the same anti-join
+    skew cap as the LSH hot-bucket rule): a ubiquitous n-gram would
+    fan out to every corpus doc and flag the whole corpus.
+    """
+    c = corpus.select(F.col(doc_id), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    b = benchmark.select(
+        F.col(doc_id).alias("_bench_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    if max_shingle_docs is not None:
+        hot = (
+            b.groupBy("sh")
+            .agg(F.count_distinct("_bench_id").alias("_nb"))
+            .filter(F.col("_nb") > max_shingle_docs)
+            .select("sh")
+        )
+        b = b.join(F.broadcast(hot), "sh", "left_anti")
+    return (
+        c.join(b.select("sh").distinct(), "sh")
+        .groupBy(doc_id)
+        .agg(F.count_distinct("sh").alias("n_overlap"))
+    )

@@ -99,3 +99,78 @@ def repetition_stats(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "t
     return c.groupBy(doc_id).agg(
         F.floor(F.max("cnt") * 1000.0 / F.sum("cnt")).cast("long").alias("rep_permille")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning: C4-style line dedup + PII scrubbing
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def line_dedup(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """C4-style cross-corpus line deduplication: of every distinct line,
+    only the FIRST occurrence (lowest (doc_id, line_idx)) survives; each
+    doc is reassembled from its surviving lines in original order.
+
+    Returns (doc_id, n_lines, n_kept, text_deduped).
+
+    Scale shape: first-occurrence is a groupBy(line).min(struct) — a
+    two-phase aggregate with map-side combine, so a boilerplate line
+    occurring 10⁹ times reduces to one row per map partition before the
+    shuffle (a window over partitionBy(line) would funnel every copy of
+    the hot line through one task). The join back is equi on the line
+    key; reassembly is doc_id-keyed.
+    """
+    lines = docs.select(
+        F.col(doc_id),
+        F.posexplode(F.split(F.col(text_col), delim, -1)).alias("line_idx", "line"),
+    )
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct(doc_id, "line_idx")).alias("_keep")
+    )
+    kept = lines.join(firsts, "line").withColumn(
+        "_is_first",
+        (F.col(doc_id) == F.col(f"_keep.{doc_id}"))
+        & (F.col("line_idx") == F.col("_keep.line_idx")),
+    )
+    return kept.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_is_first").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_is_first"), F.struct("line_idx", "line"))
+                    )
+                ),
+                lambda s: s.line,
+            ),
+            delim,
+        ).alias("text_deduped"),
+    )
+
+
+def pii_scrub(
+    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and IPv4 addresses; count what was removed.
+
+    Returns (doc_id, n_emails, n_ips, text_clean). Pure codegen
+    (regexp_count / regexp_replace) — the training-pipeline PII pass at
+    its simplest; extend the pattern table for phones/keys as needed."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(doc_id),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ).alias("text_clean"),
+    )

@@ -806,6 +806,108 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "line_dedup_c4",
+    """
+    -- C4-style cross-corpus line dedup: of each distinct line, only the
+    -- lowest-(doc_id, line_idx) occurrence survives; docs reassembled
+    -- from surviving lines in order. 'lines' are synthesized for the
+    -- single-line synthetic corpus by splitting on the token ' fast '.
+    WITH t AS (SELECT doc_id, string_split(text, ' fast ') AS ls FROM documents),
+     l AS (SELECT doc_id, UNNEST(range(0, LEN(ls))) AS line_idx, UNNEST(ls) AS line FROM t),
+     r AS (SELECT doc_id, line_idx, line,
+                  ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rk
+           FROM l)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN line END, ' fast '
+                                   ORDER BY line_idx), '')) AS dedup_md5
+    FROM r GROUP BY doc_id
+    """,
+)
+def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level dedup (operators/text.line_dedup): first occurrence
+    wins, two-phase min-aggregate (no hot-line window funnel)."""
+    d = tpch.load(spark, sf_dir, "documents")
+    out = TXT.line_dedup(d, delim=" fast ")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text_deduped").alias("dedup_md5")
+    )
+
+
+@register(
+    "pii_scrub",
+    """
+    -- PII scrubbing over a deterministic synthesis: every third doc
+    -- gets an email + an IPv4 appended; the operator must count and
+    -- redact exactly those.
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0
+                           THEN concat(text, ' contact user', doc_id, '@mail',
+                                       doc_id % 7, '.com from 10.',
+                                       doc_id % 256, '.0.', doc_id % 200, '.1 ok')
+                           ELSE text END AS text
+               FROM documents)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS clean_md5
+    FROM t
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.pii_scrub): emails + IPv4 counted
+    and replaced, pure codegen regexp work."""
+    d = tpch.load(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".com from 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
+                F.lit(".1 ok"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = TXT.pii_scrub(synth)
+    return out.select("doc_id", "n_emails", "n_ips", F.md5("text_clean").alias("clean_md5"))
+
+
+@register(
+    "decontaminate",
+    f"""
+    -- benchmark decontamination: corpus docs (doc_id >= 20) sharing any
+    -- distinct 3-gram with the eval set (doc_id < 20); shingles present
+    -- in > 15 eval docs are dropped (stopword-gram skew guard).
+    WITH b AS (SELECT doc_id AS bid, UNNEST({DD.shingles_sql('text', 3)}) AS sh
+               FROM documents WHERE doc_id < 20),
+     keepable AS (SELECT sh FROM b GROUP BY sh HAVING COUNT(DISTINCT bid) <= 15),
+     bs AS (SELECT DISTINCT b.sh FROM b JOIN keepable k ON b.sh = k.sh),
+     c AS (SELECT doc_id, UNNEST({DD.shingles_sql('text', 3)}) AS sh
+           FROM documents WHERE doc_id >= 20)
+    SELECT c.doc_id, CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_overlap
+    FROM c JOIN bs ON c.sh = bs.sh GROUP BY c.doc_id
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/dedup.decontaminate):
+    shingle-keyed equi join, never doc×doc; hot-shingle anti-join cap."""
+    d = tpch.load(spark, sf_dir, "documents")
+    return DD.decontaminate(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        n=3,
+        max_shingle_docs=15,
+    )
+
+
+@register(
     "lang_id",
     f"SELECT doc_id, {TXT.lang_id_sql('text')} AS pred_lang FROM documents",
 )
