@@ -173,11 +173,12 @@ def run(args, spark=None) -> str:
         members = FM.members_ci_abidjan(tables, config)
     elif selector == "br_florianopolis":
         from osm2gtfs_spark.plans.florianopolis import build_florianopolis_tables
+        from osm2gtfs_spark.sources.fenix import fenix_docs_df
 
         tables = build_florianopolis_tables(
             stops_docs,
             routes_docs,
-            timetable_docs_df(spark, inputs["fenix_json"]),
+            fenix_docs_df(spark, inputs["fenix_json"]),
             start_date=fi.get("start_date", "20180301"),
             end_date=fi.get("end_date", "20190228"),
         )

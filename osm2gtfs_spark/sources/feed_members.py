@@ -193,6 +193,9 @@ def members_br_florianopolis(t, config: dict) -> dict[str, bytes]:
             [[r["shape_id"], r["shape_pt_lat"], r["shape_pt_lon"], r["shape_pt_sequence"], ""] for r in t.shapes.collect()],
         ),
     }
+    fi = _feed_info_member(config)
+    if fi is not None:
+        members["feed_info.txt"] = fi
     return members
 
 

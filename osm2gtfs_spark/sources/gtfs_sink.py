@@ -199,14 +199,20 @@ def validate_feed(tables) -> DataFrame:
     """
     spark = tables.trips.sparkSession
     st = tables.stop_times
-    if "stop_key" in st.columns:
+    st_used_key = "stop_key" in st.columns
+    if st_used_key:
         st = st.withColumnRenamed("stop_key", "stop_id")
     stops = tables.stops
-    stop_ids = (
-        stops.select(F.col("stop_key").alias("stop_id"))
-        if "stop_key" in stops.columns
-        else stops.select("stop_id")
-    )
+    # the stops id column must MATCH whichever key stop_times carries:
+    # pipelines reference stops by stop_key; city plans that emit final
+    # GTFS stop_ids in stop_times (e.g. Florianópolis) must be checked
+    # against stops.stop_id, not stop_key
+    if st_used_key and "stop_key" in stops.columns:
+        stop_ids = stops.select(F.col("stop_key").alias("stop_id"))
+    elif "stop_id" in stops.columns:
+        stop_ids = stops.select("stop_id")
+    else:
+        stop_ids = stops.select(F.col("stop_key").alias("stop_id"))
     stations = getattr(tables, "stations", None)
     if stations is not None:
         stop_ids = stop_ids.unionByName(stations.select(F.col("station_key").alias("stop_id")))

@@ -73,6 +73,91 @@ def test_cli_docs_parquet_scalable_path(spark, tmp_path):
         assert len(z.read("stop_times.txt").splitlines()) > 1
 
 
+def _assert_zip_parity(out_zip: str, golden_zip: str, skip=()):
+    with zipfile.ZipFile(out_zip) as ours, zipfile.ZipFile(golden_zip) as gold:
+        gold_names = set(gold.namelist()) - set(skip)
+        assert set(ours.namelist()) >= gold_names
+        for name in sorted(gold_names):
+            a, b = ours.read(name), gold.read(name)
+            assert len(a) == len(b), f"{name}: size {len(a)} != golden {len(b)}"
+            diff = (collections.Counter(a.split(b"\r\n")) - collections.Counter(b.split(b"\r\n"))) + (
+                collections.Counter(b.split(b"\r\n")) - collections.Counter(a.split(b"\r\n"))
+            )
+            assert not diff, f"{name}: {sum(diff.values())} differing lines {list(diff)[:2]}"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference fixtures not available")
+def test_cli_florianopolis_golden_end_to_end(spark, tmp_path):
+    """Dedicated-selector Fenix path through the CLI, golden parity."""
+    fx = f"{FIX}/br_florianopolis"
+    config = {
+        "selector": "br_florianopolis",
+        "agency": {
+            "agency_phone": "+55 (48) 3025-6868",
+            "agency_url": "http://www.consorciofenix.com.br/",
+            "agency_id": "BR-Floripa",
+            "agency_name": "Consórcio Fênix",
+            "agency_timezone": "America/Sao_Paulo",
+            "agency_lang": "pt",
+        },
+        "feed_info": {
+            "publisher_name": "Torsten Grote",
+            "publisher_url": "https://transportr.grobox.de",
+            "version": "0.1",
+            "start_date": "20180301",
+            "end_date": "20190228",
+        },
+        "inputs": {
+            "stops_xml": f"{fx}/overpass-stops.xml",
+            "routes_xml": f"{fx}/overpass-routes.xml",
+            "fenix_json": f"{fx}/timetable.json",
+        },
+        "output_file": str(tmp_path / "floripa.zip"),
+    }
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(config))
+    out = cli.run(_args(["-c", str(cfg)]), spark=spark)
+    _assert_zip_parity(out, f"{fx}/br_florianopolis_gtfs.zip.ref")
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference fixtures not available")
+def test_cli_default_city_esteli_golden_end_to_end(spark, tmp_path):
+    """Default-selector schedule path through the CLI (Estelí golden)."""
+    fx = f"{FIX}/ni_esteli"
+    config = {
+        "selector": "ni_esteli",  # no dedicated plan → Default creators
+        "stops": {"name_without": "Parada sin nombre"},
+        "agency": {
+            "agency_url": "https://wiki.openstreetmap.org/wiki/ES:Wikiproyecto_Nicaragua/Transporte_p%C3%BAblico/Estel%C3%AD",
+            "agency_name": "Estelí",
+            "agency_id": "NI-Estelí",
+            "agency_timezone": "America/Managua",
+            "agency_lang": "es",
+        },
+        "feed_info": {
+            "publisher_name": "MapaNica.net",
+            "publisher_url": "https://mapanica.net",
+            "version": "0.1",
+            "start_date": "20191201",
+            "end_date": "20201130",
+        },
+        "inputs": {
+            "stops_xml": f"{fx}/overpass-stops.xml",
+            "routes_xml": f"{fx}/overpass-routes.xml",
+            "timetable": f"{fx}/timetable.json",
+        },
+        "output_file": str(tmp_path / "esteli.zip"),
+    }
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(config))
+    out = cli.run(_args(["-c", str(cfg)]), spark=spark)
+    # calendar dates are generated from "now" in the reference; the
+    # committed golden's calendar start/end differ from any fixed config
+    # → compared by the esteli golden-parity test at table level, here
+    # the CLI check is the byte parity of the data members
+    _assert_zip_parity(out, f"{fx}/ni_esteli_gtfs.zip.ref")
+
+
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference fixtures not available")
 def test_cli_accra_golden_end_to_end(spark, tmp_path):
     """osm2gtfs_spark -c accra.json → zip whose members are byte-size +
