@@ -32,6 +32,12 @@ AUDIT = [
     "salted_agg",
     "replicated_salted_join",
     "adaptive_cell_split",
+    # round-3 additions
+    "line_dedup_c4",
+    "pii_scrub",
+    "decontaminate",
+    "media_decode_meta_real",
+    "embedding_near_dup",
 ]
 
 
