@@ -226,11 +226,14 @@ def members_ci_abidjan(t, config: dict) -> dict[str, bytes]:
         ),
         "stops.txt": transitfeed_csv_bytes(
             ["stop_lat", "stop_lon", "stop_id", "stop_name", "location_type"],
-            _rows(t.stops, ["stop_lat", "stop_lon", "stop_id", "stop_name", "location_type"]),
+            [
+                [str(r["lat"]), str(r["lon"]), r["stop_id"], r["name"], "0"]
+                for r in t.stops.collect()
+            ],
         ),
         "stop_times.txt": transitfeed_csv_bytes(
-            ["trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence", "timepoint"],
-            _rows(t.stop_times, ["trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence", "timepoint"]),
+            ["trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence"],
+            _rows(t.stop_times, ["trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence"]),
         ),
     }
     fi = _feed_info_member(config)

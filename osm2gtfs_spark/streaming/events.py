@@ -163,12 +163,35 @@ def tile_coverage_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup at ingest: first occurrence of each key
+    passes, replays/duplicates are dropped — the streaming twin of the
+    batch exact-dedup operator (operators/dedup), and the standard
+    exactly-once-ingest building block.
+
+    ``dropDuplicatesWithinWatermark`` keeps state only until the
+    watermark passes a key's event time, so state is bounded by the
+    watermark horizon × arrival rate (a plain dropDuplicates would grow
+    state forever on an unbounded stream). Late duplicates beyond the
+    watermark are already out of the dedup horizon by definition."""
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> None:
     """Drain the bounded source into a memory sink (test/bench helper)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append" if "session" in query_name else "complete")
+        .outputMode(
+            "append"
+            if ("session" in query_name or "dedup" in query_name)
+            else "complete"
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

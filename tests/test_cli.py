@@ -73,6 +73,43 @@ def test_cli_docs_parquet_scalable_path(spark, tmp_path):
         assert len(z.read("stop_times.txt").splitlines()) > 1
 
 
+def test_cli_abidjan_selector_smoke(spark, tmp_path):
+    """ci_abidjan selector through the CLI on the synthetic opening_hours
+    fixtures (the upstream routes XML is absent, so no golden parity —
+    the check is the dispatch, member assembly and frequency windows)."""
+    from tests.test_opening_hours import ROUTES_XML, STOPS_XML
+
+    (tmp_path / "stops.xml").write_text(STOPS_XML)
+    (tmp_path / "routes.xml").write_text(ROUTES_XML)
+    config = {
+        "selector": "ci_abidjan",
+        "agency": {
+            "agency_id": "divers",
+            "agency_name": "Divers opérateurs",
+            "agency_url": "https://example.org",
+            "agency_timezone": "Africa/Abidjan",
+        },
+        "feed_info": {"start_date": "20200101", "end_date": "20201231"},
+        "inputs": {
+            "stops_xml": str(tmp_path / "stops.xml"),
+            "routes_xml": str(tmp_path / "routes.xml"),
+        },
+        "output_file": str(tmp_path / "abj.zip"),
+    }
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps(config))
+    out = cli.run(_args(["-c", str(cfg)]), spark=spark)
+    with zipfile.ZipFile(out) as z:
+        assert {"agency.txt", "routes.txt", "trips.txt", "stop_times.txt",
+                "frequencies.txt", "calendar.txt", "stops.txt"} <= set(z.namelist())
+        ag = z.read("agency.txt").decode().splitlines()
+        assert any("Wibus" in line for line in ag)  # per-network agency
+        freq = z.read("frequencies.txt").decode().splitlines()
+        assert any(",600," in line for line in freq)  # 00:10 peak window
+        stops = z.read("stops.txt").decode().splitlines()[1:]
+        assert all(line.split(",")[0] not in ("", "None") for line in stops)
+
+
 def _assert_zip_parity(out_zip: str, golden_zip: str, skip=()):
     with zipfile.ZipFile(out_zip) as ours, zipfile.ZipFile(golden_zip) as gold:
         gold_names = set(gold.namelist()) - set(skip)

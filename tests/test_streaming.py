@@ -86,3 +86,26 @@ def test_tile_coverage_stream_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_dedup_stream_drops_replays(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: a replayed batch of the same events must
+    pass through exactly once (bounded drain equals batch distinct)."""
+    src = str(tmp_path / "dup_src")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    # two overlapping files: the second replays half of the first
+    ev.write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SE.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    deduped = SE.dedup_stream(stream)
+    SE.run_available_now(deduped, "dedup_sink", str(tmp_path / "ck_dd"))
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
+    want = ev.select("event_id").distinct().count()
+    assert got.d == want, "every original event id exactly once"
+    assert got.n == got.d, "no duplicate rows in the deduped stream"
