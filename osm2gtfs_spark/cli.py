@@ -142,7 +142,7 @@ def run(args, spark=None) -> str:
         docs = spark.read.parquet(inputs["docs_parquet"])
         has_schedule = "timetable" in inputs or config.get("schedule_source")
         if has_schedule:
-            tables = run_schedule_pipeline(docs, name_without=name_without)
+            tables = run_schedule_pipeline(docs, name_without=name_without, eager=True)
         elif catalog is not None:
             tables = run_frequency_pipeline_checkpointed(docs, catalog, name_without)
         else:

@@ -80,6 +80,24 @@ def knn_snap(
         dlon = F.col("_p_lon") - F.col("_t_lon")
         dist = dlat * dlat + dlon * dlon
     cand = pts.join(tgt, "_cell").withColumn("_dist", dist)
+    if n_neighbors == 1:
+        # argmin as a two-phase aggregate, not a window: min over
+        # struct(dist, key) combines map-side, so the exchange carries
+        # ONE row per (point, map partition) instead of every candidate
+        # row — at dense-cell scale (25-cell ring × urban stations) the
+        # window shuffle is candidate-cardinality, this is point-
+        # cardinality. Struct comparison is lexicographic = the same
+        # (dist asc, key asc) order with deterministic tie-break.
+        best = cand.groupBy(point_key).agg(
+            F.min(
+                F.struct(F.col("_dist").alias("d"), F.col(target_key).alias("k"))
+            ).alias("_b")
+        )
+        return best.select(
+            F.col(point_key),
+            F.col("_b.k").alias(f"nearest_{target_key}"),
+            F.lit(1).alias("rank"),
+        )
     w = Window.partitionBy(point_key).orderBy(F.col("_dist").asc(), F.col(target_key).asc())
     out = (
         cand.withColumn("_rank", F.row_number().over(w))

@@ -620,14 +620,15 @@ def auto_stop_names(
         dlat = F.col("_s_lat") - F.col("_c_lat")
         dlon = F.col("_s_lon") - F.col("_c_lon")
         rank_dist = dlat * dlat + dlon * dlon
-    w = Window.partitionBy("stop_key").orderBy(F.col("_d").asc(), F.col("cand_name").asc())
+    # argmin via min(struct) — map-side combine instead of a window
+    # shuffle of every candidate row (same rationale as knn_snap)
     best = (
         probe.join(cand, "_cell")
         .filter(meters <= F.lit(radius_m))
         .withColumn("_d", rank_dist)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter("_rk = 1")
-        .select("stop_key", F.col("cand_name").alias("guessed_name"))
+        .groupBy("stop_key")
+        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("cand_name").alias("n"))).alias("_b"))
+        .select("stop_key", F.col("_b.n").alias("guessed_name"))
     )
     # no broadcast hint: the unnamed set can be large at corpus scale —
     # AQE picks broadcast when it actually fits

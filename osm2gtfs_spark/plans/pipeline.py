@@ -157,7 +157,11 @@ def run_frequency_pipeline_checkpointed(
         ["relations", "ways", "nodes"],
     )
     trips_full = cat.run_stage(
-        "trips", lambda: gtfs.build_trips(lines, itineraries), ["lines", "itineraries"]
+        "trips",
+        # the stage inputs are materialized checkpoint tables, so the
+        # threshold count is a cheap parquet scan
+        lambda: gtfs.build_trips(lines, itineraries, small_threshold=SMALL_INDEX_THRESHOLD),
+        ["lines", "itineraries"],
     )
     frequencies = cat.run_stage(
         "frequencies", lambda: gtfs.build_frequencies(trips_full), ["trips"]
@@ -215,6 +219,7 @@ def run_schedule_pipeline(
     feed_start: str = "20240101",
     feed_end: str = "20250101",
     persist: bool = True,
+    eager: bool = False,
 ) -> GtfsTables:
     """docs → GTFS tables via the schedule-join (Managua) path.
 
@@ -347,6 +352,10 @@ def run_schedule_pipeline(
         "route_type",
         F.col("colour").alias("route_color"),
     )
+    if eager and persist:
+        # same rationale as the frequency path: warm the deep shared
+        # chain once before concurrent sink fan-out
+        stop_times.count()
     tables = GtfsTables(
         stops=stops_final,
         routes=routes_final,
