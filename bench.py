@@ -115,10 +115,30 @@ def main() -> None:
         write_gtfs_zip(tables, os.path.join(td, "bench.zip"), shards=8)
         zip_sec = round(time.time() - t0, 3)
 
-    # total keeps the r1 definition (headline + pipeline); the sink is
-    # reported separately so rounds stay comparable
+    # total keeps the r1 definition (headline + pipeline); the sink and
+    # the schedule-path pipeline are reported separately so rounds stay
+    # comparable
     total = round(sum(timings.values()), 3)
     timings["gtfs_zip_sharded"] = zip_sec
+
+    # schedule-join path (J5 composite join + J7 alignment kernel + W6
+    # distance interpolation) on the same city — first benched in r3;
+    # row count is schedule-bound (~27k), so rows/sec is NOT comparable
+    # to the frequency metric; the wall time is the record
+    from osm2gtfs_spark.plans.pipeline import run_schedule_pipeline
+
+    sched_samples = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        docs = D.docs_df(spark, BENCH_CITY, n_partitions=32).cache()
+        docs.count()
+        t0 = time.time()
+        st = run_schedule_pipeline(docs, eager=True)
+        souts = [st.stop_times, st.stops, st.routes, st.trips, st.shapes, st.calendar]
+        with ThreadPoolExecutor(max_workers=len(souts)) as ex:
+            sched_rows = sum(ex.map(lambda t: t.count(), souts))
+        sched_samples.append(round(time.time() - t0, 3))
+    timings["gtfs_schedule_pipeline"] = sorted(sched_samples)[1]
 
     # surface the latest N→4N scaling evidence (tools/scaling.py) so the
     # per-round BENCH json carries it alongside BASELINE.md
@@ -145,6 +165,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "gtfs_pipeline_samples": samples,
+                "gtfs_schedule_samples": sched_samples,
+                "gtfs_schedule_rows": sched_rows,
                 "gtfs_rows": gtfs_rows,
                 "gtfs_rows_per_sec": round(gtfs_rows / pipeline_sec, 1),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
