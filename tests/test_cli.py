@@ -73,6 +73,43 @@ def test_cli_docs_parquet_scalable_path(spark, tmp_path):
         assert len(z.read("stop_times.txt").splitlines()) > 1
 
 
+def test_cli_refresh_invalidates_checkpoint_stages(spark, tmp_path):
+    """--refresh-stops through the CLI: stop-side checkpoint stages are
+    recomputed (new snapshot ids), route-side stages resume untouched —
+    the reference's selective cache refresh mapped onto the catalog."""
+    from osm2gtfs_spark.sources import docs as D
+    from osm2gtfs_spark.sources.checkpoint import CheckpointCatalog
+
+    docs_path = str(tmp_path / "docs")
+    D.docs_df(spark, D.CitySpec(n_lines=2)).write.parquet(docs_path)
+    config = {
+        "inputs": {"docs_parquet": docs_path},
+        "cache_dir": str(tmp_path / "ckpt"),
+        "agency": {"agency_id": "X", "agency_name": "X", "agency_url": "u", "agency_timezone": "UTC"},
+        "output_file": str(tmp_path / "a.zip"),
+    }
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps(config))
+
+    cli.run(_args(["-c", str(cfg)]), spark=spark)
+    cat = CheckpointCatalog(spark, config["cache_dir"])
+    snaps1 = {m["stage"]: m["snapshot_id"] for m in cat.metrics()}
+    assert "nodes" in snaps1 and "relations" in snaps1
+
+    # plain re-run: everything resumes (no snapshot changes)
+    cli.run(_args(["-c", str(cfg), "-o", str(tmp_path / "b.zip")]), spark=spark)
+    snaps2 = {m["stage"]: m["snapshot_id"] for m in cat.metrics()}
+    assert snaps2 == snaps1
+
+    # --refresh-stops: stop-side stages recomputed, relations untouched
+    cli.run(_args(["-c", str(cfg), "-o", str(tmp_path / "c.zip"), "--refresh-stops"]), spark=spark)
+    snaps3 = {m["stage"]: m["snapshot_id"] for m in cat.metrics()}
+    assert snaps3["nodes"] != snaps1["nodes"]
+    assert snaps3["stops"] != snaps1["stops"]
+    assert snaps3["relations"] == snaps1["relations"]
+    assert snaps3["lines"] == snaps1["lines"]
+
+
 def test_cli_abidjan_selector_smoke(spark, tmp_path):
     """ci_abidjan selector through the CLI on the synthetic opening_hours
     fixtures (the upstream routes XML is absent, so no golden parity —

@@ -67,3 +67,35 @@ def test_decontaminate_overlap_and_cap(spark):
     # cap at 0 benchmark docs -> every shingle is "hot" -> nothing flagged
     none = DD.decontaminate(corpus, bench, n=3, max_shingle_docs=0).count()
     assert none == 0
+
+
+def test_line_dedup_corpus_invariants(spark):
+    """Property: across the deduped corpus every distinct line appears
+    exactly once, each doc's surviving lines are a subsequence of its
+    original lines, and per-doc counts are consistent."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"line{j}" for j in range(12)]  # small vocab → many dups
+    rows = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in TXT.line_dedup(df).collect()}
+
+    all_kept: list[str] = []
+    for doc_id, text in rows:
+        orig = text.split("\n")
+        r = out[doc_id]
+        assert r.n_lines == len(orig)
+        kept = r.text_deduped.split("\n") if r.text_deduped else []
+        assert r.n_kept == len(kept)
+        # subsequence of original order
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept), (doc_id, orig, kept)
+        all_kept.extend(kept)
+    # exactly-once corpus-wide, and nothing lost
+    assert sorted(set(all_kept)) == sorted(all_kept)
+    used = {line for _, text in rows for line in text.split("\n")}
+    assert set(all_kept) == used
