@@ -806,6 +806,58 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter_composite",
+    """
+    -- composite C4/Gopher-style keep decision: token-count bounds,
+    -- top-2-gram repetition cap, mean-word-length sanity. The corpus is
+    -- single-space-joined words, so sum(token lengths) = len - (n-1)
+    -- and the mean word length is pure arithmetic in both engines.
+    WITH toks AS (SELECT doc_id, length(text) AS chars,
+                         string_split(text, ' ') AS t FROM documents),
+     g AS (SELECT doc_id,
+                  UNNEST(list_transform(range(1, GREATEST(LEN(t) - 1, 1) + 1),
+                                        i -> concat_ws(' ', t[i], t[i + 1]))) AS g
+           FROM toks),
+     c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2),
+     rep AS (SELECT doc_id, CAST(FLOOR(MAX(n) * 1000.0 / SUM(n)) AS BIGINT) AS rep_permille
+             FROM c GROUP BY doc_id),
+     tk AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tok,
+                   CAST(FLOOR((chars - (LEN(t) - 1)) * 100.0 / LEN(t)) AS BIGINT) AS mwl_x100
+            FROM toks)
+    SELECT tk.doc_id, tk.n_tok, rep.rep_permille, tk.mwl_x100,
+           (tk.n_tok BETWEEN 30 AND 80)
+           AND rep.rep_permille < 300
+           AND (tk.mwl_x100 BETWEEN 250 AND 700) AS keep
+    FROM tk JOIN rep ON tk.doc_id = rep.doc_id
+    """,
+)
+def quality_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate: the conjunction a C4/Gopher-style curation
+    pipeline applies before training, built from the individual signal
+    operators (token_stats, repetition_stats) with signals exposed."""
+    d = tpch.load(spark, sf_dir, "documents")
+    tk = TXT.token_stats(d).select(
+        "doc_id",
+        F.col("n_tokens_ws").alias("n_tok"),
+        F.floor(
+            (F.length("text") - (F.col("n_tokens_ws") - 1)) * 100.0 / F.col("n_tokens_ws")
+        ).cast("long").alias("mwl_x100"),
+    )
+    rep = TXT.repetition_stats(d, n=2)
+    return tk.join(rep, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "rep_permille",
+        "mwl_x100",
+        (
+            F.col("n_tok").between(30, 80)
+            & (F.col("rep_permille") < 300)
+            & F.col("mwl_x100").between(250, 700)
+        ).alias("keep"),
+    )
+
+
+@register(
     "line_dedup_c4",
     """
     -- C4-style cross-corpus line dedup: of each distinct line, only the
