@@ -74,7 +74,7 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     samples = []
-    for _ in range(3):
+    for _ in range(5):  # 5, not 3: the box throws 2-3x outliers often
         spark.catalog.clearCache()
         docs = D.docs_df(spark, BENCH_CITY, n_partitions=32).cache()
         docs.count()
