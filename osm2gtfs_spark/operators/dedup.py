@@ -332,3 +332,16 @@ def decontaminate(
         .groupBy(doc_id)
         .agg(F.count_distinct("sh").alias("n_overlap"))
     )
+
+
+def apply_keepers(
+    docs: DataFrame, components: DataFrame, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Dedup finishing step: keep one doc per near-dup component.
+
+    ``components`` is the (doc_id, component_id) output of
+    :func:`connected_components`; the keeper is the component's min id
+    (= component_id by construction), every other member is anti-joined
+    away. Docs that appear in no component pass through untouched."""
+    losers = components.filter(F.col(doc_id) != F.col("component_id")).select(doc_id)
+    return docs.join(losers, doc_id, "left_anti")

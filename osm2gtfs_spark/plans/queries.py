@@ -680,6 +680,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(pairs)
 
 
+@register(
+    "dedup_keeper_corpus",
+    """
+    -- the deduped corpus: one keeper (min doc_id) per near-dup
+    -- component, singletons untouched — the end-to-end result of
+    -- signature -> candidates -> closure -> keeper selection.
+    WITH RECURSIVE
+     s AS (SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ts
+           FROM documents),
+     e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM s a JOIN s b ON a.ts = b.ts AND a.doc_id <> b.doc_id),
+     reach(src, dst) AS (
+       SELECT src, dst FROM e
+       UNION
+       SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+     ),
+     comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+              FROM reach GROUP BY src)
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+    """,
+)
+def dedup_keeper_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete dedup chain end-to-end (operators/dedup): candidate
+    pairs → connected components → apply_keepers anti-join. What a
+    training pipeline actually ships: the surviving corpus."""
+    d = tpch.load(spark, sf_dir, "documents")
+    comps = DD.connected_components(_token_set_dup_pairs(d))
+    return DD.apply_keepers(d, comps).select("doc_id", "n_chars")
+
+
 @register("simhash_near_dup", _TSE_PAIRS_SQL)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) banding + exact token-set verify.

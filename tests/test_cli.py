@@ -110,6 +110,43 @@ def test_cli_refresh_invalidates_checkpoint_stages(spark, tmp_path):
     assert snaps3["lines"] == snaps1["lines"]
 
 
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference fixtures not available")
+def test_cli_managua_counts(spark, tmp_path):
+    """ni_managua through the CLI (default creators): the reference's
+    count contract (tests_ni_managua.py) — its golden zip is absent
+    upstream, so counts are the strongest available check."""
+    import csv
+    import io
+
+    fx = f"{FIX}/ni_managua"
+    config = {
+        "selector": "ni_managua",
+        "stops": {"name_without": "Parada sin nombre"},
+        "agency": {"agency_id": "NI-Managua", "agency_name": "Managua",
+                   "agency_url": "https://mapanica.net", "agency_timezone": "America/Managua",
+                   "agency_lang": "es"},
+        "feed_info": {"publisher_name": "MapaNica.net", "publisher_url": "https://mapanica.net",
+                      "version": "0.1", "start_date": "20240101", "end_date": "20250101"},
+        "inputs": {
+            "stops_xml": f"{fx}/overpass-stops.xml",
+            "routes_xml": f"{fx}/overpass-routes.xml",
+            "timetable": f"{fx}/timetable.json",
+        },
+        "output_file": str(tmp_path / "managua.zip"),
+    }
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps(config))
+    out = cli.run(_args(["-c", str(cfg)]), spark=spark)
+    with zipfile.ZipFile(out) as z:
+        stops = list(csv.DictReader(io.TextIOWrapper(z.open("stops.txt"), encoding="utf-8")))
+        points = [s for s in stops if s["location_type"] == "0"]
+        stations = [s for s in stops if s["location_type"] == "1"]
+        assert len(points) == 1450
+        assert len(stations) == 547
+        routes = list(csv.DictReader(io.TextIOWrapper(z.open("routes.txt"), encoding="utf-8")))
+        assert len(routes) == 45
+
+
 def test_cli_abidjan_selector_smoke(spark, tmp_path):
     """ci_abidjan selector through the CLI on the synthetic opening_hours
     fixtures (the upstream routes XML is absent, so no golden parity —
