@@ -340,3 +340,49 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage: int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector symmetric scalar quantization: float32 → int8 codes +
+    one float scale — a 4× storage/shuffle-width cut for ANN postings
+    and near-dup sweeps at corpus scale.
+
+    code = floor(v / scale) clamped to [-2^(bits-1), 2^(bits-1)-1] with
+    scale = max(|v|) / (2^(bits-1) - 1); all column math (no UDF), so
+    the transform runs in codegen and is reproducible in the SQL oracle
+    (floor, not round — engines agree on floor for all doubles).
+    Zero vectors get scale 0 and all-zero codes."""
+    q = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    scale = F.aggregate(
+        v, F.lit(0.0).cast("double"), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(float(q))
+    codes = F.when(F.col("_scale") > 0, F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-q - 1),
+            F.least(F.lit(q), F.floor(x / F.col("_scale")).cast("int")),
+        ),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        vectors.withColumn("_scale", scale)
+        .select(
+            F.col(id_col),
+            F.col("_scale").alias("scale"),
+            codes.alias("codes"),
+        )
+    )
+
+
+def dequantize(codes: Column, scale: Column) -> Column:
+    """codes + scale → approximate float vector (column math)."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)

@@ -681,6 +681,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize",
+    """
+    -- int8 symmetric scalar quantization: scale = max|v|/127, code =
+    -- clamp(floor(v/scale)). Pure IEEE double arithmetic (float->double
+    -- upcasts are exact), so both engines agree bit-for-bit; outputs
+    -- are int-ized (scale floored at 1e-9 resolution, codes hashed).
+    WITH s AS (SELECT vec_id, embedding,
+                      list_aggregate(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale
+               FROM embeddings)
+    SELECT vec_id,
+           CAST(FLOOR(scale * 1000000000) AS BIGINT) AS scale_x1e9,
+           md5(array_to_string(list_transform(embedding,
+                 x -> CAST(CAST(CASE WHEN scale > 0
+                                     THEN GREATEST(-128, LEAST(127,
+                                          FLOOR(CAST(x AS DOUBLE) / scale)))
+                                     ELSE 0 END AS BIGINT) AS VARCHAR)),
+               ',')) AS codes_md5
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding storage quantization (operators/similarity
+    .quantize_embeddings): float32 → int8 codes + scale, a 4× cut in
+    ANN posting width at corpus scale. Codegen column math only."""
+    emb = tpch.load(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * F.lit(1_000_000_000)).cast("long").alias("scale_x1e9"),
+        F.md5(
+            F.concat_ws(",", F.transform("codes", lambda c: c.cast("string")))
+        ).alias("codes_md5"),
+    )
+
+
+@register(
     "dedup_keeper_corpus",
     """
     -- the deduped corpus: one keeper (min doc_id) per near-dup

@@ -53,6 +53,14 @@ def build_session(
             shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # spill sizing, stated explicitly: scan splits of 128 MB and an
+        # AQE coalesce target of 64 MB keep every task's working set
+        # well under executor memory at any SF — partitions never need
+        # to fit a key group in memory (sort-based shuffle spills), but
+        # right-sized post-shuffle partitions avoid both tiny-task
+        # overhead and multi-GB stragglers on skewed inputs
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -331,3 +331,32 @@ def test_deterministic_sample_layout_invariant(spark, sf_dir):
     import collections
     per = collections.Counter(lang for _, lang in sa)
     assert all(v <= 5 for v in per.values()) and len(per) > 1
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    """int8 quantization: per-element reconstruction error < scale,
+    zero vectors stay zero, codes within int8 range."""
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.999]),
+        (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+        (3, [100.0, -100.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = SIM.quantize_embeddings(df)
+    back = q.select(
+        "vec_id", "scale", SIM.dequantize(F.col("codes"), F.col("scale")).alias("approx")
+    )
+    got = {r.vec_id: r for r in back.join(df, "vec_id").collect()}
+    for vid, orig in rows:
+        r = got[vid]
+        if all(v == 0 for v in orig):
+            assert r.scale == 0 and all(a == 0 for a in r.approx)
+            continue
+        assert r.scale > 0
+        for a, v in zip(r.approx, orig):
+            assert abs(a - v) <= r.scale + 1e-12, (vid, a, v, r.scale)
+    codes = {r.vec_id: r.codes for r in q.collect()}
+    assert all(-128 <= c <= 127 for cs in codes.values() for c in cs)
+    # extremes land in the top bins (floor semantics: q-1 or q depending
+    # on FP rounding of max/scale — the error bound above is the contract)
+    assert max(codes[3]) >= 126 and min(codes[3]) <= -127

@@ -38,6 +38,8 @@ AUDIT = [
     "decontaminate",
     "media_decode_meta_real",
     "embedding_near_dup",
+    "quality_filter_composite",
+    "dedup_keeper_corpus",
 ]
 
 
