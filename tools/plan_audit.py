@@ -40,6 +40,7 @@ AUDIT = [
     "embedding_near_dup",
     "quality_filter_composite",
     "dedup_keeper_corpus",
+    "embedding_quantize",
 ]
 
 
