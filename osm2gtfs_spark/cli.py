@@ -123,6 +123,12 @@ def run(args, spark=None) -> str:
 
         catalog = CheckpointCatalog(spark, config["cache_dir"])
         for stage in _refresh_stages(args):
+            if catalog.manifest(stage) is None:
+                # visible no-op instead of a silent one: e.g. the
+                # schedule path is not checkpointed, so
+                # --refresh-schedule-source has nothing to clear until a
+                # 'schedule' stage exists in this cache_dir
+                log.warning("refresh: no cached stage %r to invalidate", stage)
             catalog.invalidate(stage)
 
     inputs = config.get("inputs", {})
@@ -140,13 +146,27 @@ def run(args, spark=None) -> str:
         from osm2gtfs_spark.sources.gtfs_sink import write_gtfs_zip
 
         docs = spark.read.parquet(inputs["docs_parquet"])
+        feed_start = fi.get("start_date", "20240101")
+        feed_end = fi.get("end_date", "20250101")
         has_schedule = "timetable" in inputs or config.get("schedule_source")
         if has_schedule:
-            tables = run_schedule_pipeline(docs, name_without=name_without, eager=True)
+            if "timetable" in inputs:
+                # a configured timetable file is DATA, not just a mode
+                # switch: its schedule docs join the interleaved corpus
+                docs = docs.unionByName(timetable_docs_df(spark, inputs["timetable"]))
+            tables = run_schedule_pipeline(
+                docs, name_without=name_without,
+                feed_start=feed_start, feed_end=feed_end, eager=True,
+            )
         elif catalog is not None:
-            tables = run_frequency_pipeline_checkpointed(docs, catalog, name_without)
+            tables = run_frequency_pipeline_checkpointed(
+                docs, catalog, name_without, feed_start=feed_start, feed_end=feed_end
+            )
         else:
-            tables = run_frequency_pipeline(docs, name_without=name_without, eager=True)
+            tables = run_frequency_pipeline(
+                docs, name_without=name_without,
+                feed_start=feed_start, feed_end=feed_end, eager=True,
+            )
         _log_validation(validate_feed(tables))
         return write_gtfs_zip(
             tables, out, agency=config.get("agency"), shards=int(config.get("sink_shards", 1))

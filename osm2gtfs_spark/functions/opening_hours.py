@@ -90,14 +90,23 @@ def parse_interval_secs(s: str | None) -> int | None:
     """'HH:MM[:SS]' or plain minutes → seconds; None/garbage → None.
 
     Interval LISTS ('00:15; 00:10' or '00:15,00:10') take the first
-    parseable entry — the list head is the base headway, later entries
-    belong with interval:conditional conditions the tagger omitted."""
+    entry — the list head is the base headway, later entries belong
+    with interval:conditional conditions the tagger omitted. A ','
+    BETWEEN bare digit runs is the European decimal comma ('7,5' =
+    7.5 min), not a list separator."""
     if not s:
         return None
-    for part in re.split(r"[;,]", s):
+    for part in s.split(";"):
         part = part.strip()
         if not part:
             continue
+        if "," in part:
+            if re.fullmatch(r"\d+,\d+", part):
+                part = part.replace(",", ".")  # decimal comma
+            else:
+                part = part.split(",", 1)[0].strip()  # comma list head
+                if not part:
+                    continue
         m = _TIME_RE.match(part)
         if m:
             h, mi, sec = int(m.group(1)), int(m.group(2)), int(m.group(3) or 0)

@@ -21,13 +21,18 @@ from pyspark.sql import functions as F
 
 
 def shingles(text_col, n: int = 3) -> Column:
-    """Word n-gram shingles, 1-based element_at (mirrors SQL oracles)."""
+    """Word n-gram shingles (mirrors the 1-based SQL oracles).
+
+    F.get (0-based, NULL on overrun under BOTH ANSI modes) instead of
+    element_at, so docs shorter than n tokens are safe when the
+    operator is called outside the ANSI-off entry wrapper — concat_ws
+    skips the NULL overhang, same output either way."""
     toks = F.split(text_col, " ", -1)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(
             idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(n)]),
         )
     )
 
@@ -244,6 +249,8 @@ def connected_components(
     shuffles on vertex id; skewed high-degree vertices (boilerplate
     dup clusters) are bounded upstream by lsh_candidate_pairs'
     max_bucket cap."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

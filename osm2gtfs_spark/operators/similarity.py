@@ -89,18 +89,71 @@ def auto_n_planes(corpus_size: int) -> int:
     return max(_MIN_PLANES, min(_MAX_PLANES, math.ceil(math.log2(corpus_size / TARGET_BUCKET_ROWS))))
 
 
-def _cap_hot_buckets(buckets: DataFrame, sizing: DataFrame, max_bucket: int) -> DataFrame:
-    """Drop (table, bucket) keys whose *corpus-side* population exceeds
+def _hot_bucket_keys(sizing: DataFrame, max_bucket: int) -> DataFrame:
+    """(table, bucket) keys whose *corpus-side* population exceeds
     ``max_bucket`` (the skew guard ported from dedup.lsh_candidate_pairs:
     a bucket of m vectors yields m²/2 pairs, so one hot bucket — all-zero
     embeddings, boilerplate — dominates the whole join). The hot-key
-    list is ≤ N/max_bucket rows — broadcastable metadata."""
-    sizes = sizing.groupBy("table", "bucket").count()
-    return buckets.join(
-        F.broadcast(sizes.filter(F.col("count") > max_bucket)),
-        ["table", "bucket"],
-        "left_anti",
+    list is ≤ N/max_bucket rows — broadcastable metadata. Compute ONCE
+    and anti-join every side against it (the aggregate scans the full
+    corpus bucket table)."""
+    return sizing.groupBy("table", "bucket").count().filter(F.col("count") > max_bucket)
+
+
+def _cap_hot_buckets(buckets: DataFrame, hot: DataFrame) -> DataFrame:
+    return buckets.join(F.broadcast(hot), ["table", "bucket"], "left_anti")
+
+
+# Above this many plane-coefficient literals the codegen path is the
+# wrong tool: every coefficient is an expression-tree literal, so e.g.
+# 12 tables × 24 planes × 768 dims ≈ 221k literals blow up Catalyst
+# analysis time and the generated method size. The numpy matmul
+# projection (one Arrow batch pass) takes over — at that scale the
+# matrix product also beats scalar codegen on throughput.
+LITERAL_BUDGET = 20_000
+
+
+def _hyperplane_buckets_pandas(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """Bucket assignment via one numpy matmul per Arrow batch — same
+    planes (same seed), same sign rule (dot > 0) as the literal path;
+    sign agreement can differ only where |dot| is within float
+    accumulation error, which an LSH tolerates by construction (bucket
+    boundaries are arbitrary hyperplanes)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.stack([_planes(dim, n_planes, t, seed) for t in range(n_tables)])
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    id_field = vectors.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("table", T.IntegerType()), T.StructField("bucket", T.LongType())]
     )
+    flat = planes.reshape(-1, dim).T  # (D, T*P)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (v @ flat > 0).astype(np.int64).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
 def hyperplane_buckets(
@@ -111,13 +164,26 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    force_pandas: bool | None = None,
 ) -> DataFrame:
     """(id, table, bucket): sign-pattern LSH bucket per hash table.
 
     All n_tables buckets are emitted from ONE projection over the input
     (array<struct<table,bucket>> + posexplode) — the naive
     one-select-per-table union would rescan ``vectors`` n_tables times
-    in a single DAG."""
+    in a single DAG. When the plane-coefficient count exceeds
+    ``LITERAL_BUDGET`` (large auto-sized n_planes × big dim) the
+    projection switches to a numpy matmul over Arrow batches instead of
+    literal expressions — see ``_hyperplane_buckets_pandas``."""
+    use_pandas = (
+        force_pandas
+        if force_pandas is not None
+        else n_tables * n_planes * dim > LITERAL_BUDGET
+    )
+    if use_pandas:
+        return _hyperplane_buckets_pandas(
+            vectors, dim, n_planes, n_tables, id_col, vec_col, seed
+        )
 
     def bucket_expr(t: int):
         planes = _planes(dim, n_planes, t, seed)
@@ -165,8 +231,9 @@ def cosine_topk_lsh(
         id_col, "neighbor_id"
     )
     if max_bucket is not None:
-        qb = _cap_hot_buckets(qb, cb, max_bucket)
-        cb = _cap_hot_buckets(cb, cb, max_bucket)
+        hot = _hot_bucket_keys(cb, max_bucket)
+        qb = _cap_hot_buckets(qb, hot)
+        cb = _cap_hot_buckets(cb, hot)
     cand = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -211,7 +278,7 @@ def embedding_near_dup(
         n_planes = auto_n_planes(corpus_size if corpus_size is not None else vectors.count())
     b = hyperplane_buckets(vectors, dim, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
     if max_bucket is not None:
-        b = _cap_hot_buckets(b, b, max_bucket)
+        b = _cap_hot_buckets(b, _hot_bucket_keys(b, max_bucket))
     a = b.withColumnRenamed(id_col, "id_a")
     c = b.withColumnRenamed(id_col, "id_b")
     cand = (

@@ -63,9 +63,10 @@ def fingerprint(text_col) -> Column:
     is NOT the goal; byte-level dedup keying is."""
     toks = F.split(text_col, " ", -1)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
+    # F.get: NULL on overrun under both ANSI modes (short docs)
     sh = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(5)]),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(5)]),
     )
     return F.array_min(F.transform(sh, F.md5))
 

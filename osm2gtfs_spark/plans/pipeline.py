@@ -128,6 +128,8 @@ def run_frequency_pipeline_checkpointed(
     docs: DataFrame,
     catalog,
     name_without: str = "stop",
+    feed_start: str = "20240101",
+    feed_end: str = "20250101",
 ) -> GtfsTables:
     """Frequency pipeline with every stage materialized to the
     checkpoint catalog — a killed job resumes at the first incomplete
@@ -197,7 +199,7 @@ def run_frequency_pipeline_checkpointed(
     )
     spark = docs.sparkSession
     calendar = spark.createDataFrame(
-        [("always", 1, 1, 1, 1, 1, 1, 1, "20240101", "20250101")],
+        [("always", 1, 1, 1, 1, 1, 1, 1, feed_start, feed_end)],
         "service_id string, monday int, tuesday int, wednesday int, thursday int,"
         " friday int, saturday int, sunday int, start_date string, end_date string",
     )

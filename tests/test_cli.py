@@ -62,6 +62,7 @@ def test_cli_docs_parquet_scalable_path(spark, tmp_path):
         "inputs": {"docs_parquet": docs_path},
         "stops": {"name_without": "stop"},
         "agency": {"agency_id": "X", "agency_name": "X", "agency_url": "u", "agency_timezone": "UTC"},
+        "feed_info": {"start_date": "20230601", "end_date": "20240531"},
         "output_file": str(tmp_path / "generic.zip"),
         "sink_shards": 2,
     }
@@ -71,6 +72,10 @@ def test_cli_docs_parquet_scalable_path(spark, tmp_path):
     with zipfile.ZipFile(out) as z:
         assert {"stops.txt", "routes.txt", "trips.txt", "stop_times.txt"} <= set(z.namelist())
         assert len(z.read("stop_times.txt").splitlines()) > 1
+        # review r3: configured feed dates must reach calendar.txt on
+        # the docs-parquet path (were silently defaulted before)
+        cal = z.read("calendar.txt").decode()
+        assert "20230601" in cal and "20240531" in cal
 
 
 def test_cli_refresh_invalidates_checkpoint_stages(spark, tmp_path):

@@ -360,3 +360,22 @@ def test_quantize_dequantize_roundtrip(spark):
     # extremes land in the top bins (floor semantics: q-1 or q depending
     # on FP rounding of max/scale — the error bound above is the contract)
     assert max(codes[3]) >= 126 and min(codes[3]) <= -127
+
+
+def test_hyperplane_pandas_path_agrees_with_literal(emb):
+    """Review r3: auto-sized n_planes × big dim must not build 200k+
+    literal expressions — the numpy matmul path takes over above
+    LITERAL_BUDGET and must produce the identical bucket table."""
+    lit = SIM.hyperplane_buckets(emb, dim=64, n_planes=4, n_tables=3, force_pandas=False)
+    pnd = SIM.hyperplane_buckets(emb, dim=64, n_planes=4, n_tables=3, force_pandas=True)
+    # same names/types (nullability differs: literal exprs are
+    # provably non-null, mapInPandas fields are nullable by default)
+    assert [(f.name, f.dataType) for f in lit.schema] == [
+        (f.name, f.dataType) for f in pnd.schema
+    ]
+    assert lit.exceptAll(pnd).count() == 0
+    assert pnd.exceptAll(lit).count() == 0
+    # the auto switch: big configuration routes through mapInPandas
+    big = SIM.hyperplane_buckets(emb, dim=64, n_planes=24, n_tables=16)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan

@@ -367,6 +367,15 @@ def test_interval_list_takes_head():
     assert tags_to_windows("Mo-Fr 06:00-20:00", "00:15; 00:30") == base
 
 
+def test_interval_decimal_comma():
+    """Review r3: '7,5' is a European decimal comma (7.5 min), not a
+    two-entry list — must not silently become 7 minutes."""
+    assert parse_interval_secs("7,5") == 450
+    assert parse_interval_secs("0,5") == 30
+    assert parse_interval_secs("10") == 600
+    assert parse_interval_secs("7,5; 00:10") == 450  # list head decimal
+
+
 def test_date_scoped_off_is_noop():
     """Review regression: 'Dec 25 off' is a calendar exception, not a
     weekly clear — must not wipe the weekly service."""
