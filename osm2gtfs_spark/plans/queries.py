@@ -1323,7 +1323,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force on the raw corpus is additionally asserted in
     tests/test_dedup_similarity.py."""
     emb = tpch.load(spark, sf_dir, "embeddings")
-    corpus = _plant_ranked_neighbors(emb)
+    # persist: the default scale guards (corpus count for auto_n_planes +
+    # hot-bucket stats) each run an action over the planted lineage
+    corpus = _plant_ranked_neighbors(emb).persist()
     q = emb.filter(F.col("vec_id") < 20)
     return SIM.cosine_topk_lsh(q, corpus, dim=64, k=5).select("query_id", "neighbor_id", "rank")
 
@@ -1348,7 +1350,7 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
-    corpus = emb.unionByName(planted)
+    corpus = emb.unionByName(planted).persist()
     return SIM.embedding_near_dup(corpus, dim=64, threshold=0.99).select(
         "id_a", "id_b"
     )
@@ -1686,7 +1688,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     they land in the query's probed cells). Exactness at nprobe=n_cells
     and recall monotonicity are asserted in tests/test_dedup_similarity.py."""
     emb = tpch.load(spark, sf_dir, "embeddings")
-    corpus = _plant_ranked_neighbors(emb)
+    # persist: the k-means runs 1 init + 3 iteration jobs over the
+    # corpus — without it each job recomputes the planted-perturbation
+    # lineage (this was the slowest gate query; VERDICT r3 item 2)
+    corpus = _plant_ranked_neighbors(emb).persist()
     cents = SIM.ivf_centroids(corpus, n_cells=8, iters=3)
     q = emb.filter(F.col("vec_id") < 20)
     return SIM.cosine_topk_ivf(q, corpus, cents, k=5, nprobe=3).select(
