@@ -227,6 +227,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup clusters: (doc_id, component_id=min doc in component).
 
@@ -248,18 +249,35 @@ def connected_components(
     iteration-order-independent). At corpus scale each round is two
     shuffles on vertex id; skewed high-degree vertices (boilerplate
     dup clusters) are bounded upstream by lsh_candidate_pairs'
-    max_bucket cap."""
+    max_bucket cap.
+
+    ``checkpoint_dir`` (VERDICT r3 item 4) switches lineage truncation
+    from ``localCheckpoint`` (executor-local blocks — fast, but a lost
+    executor kills the whole iteration chain) to RELIABLE checkpointing
+    into that directory (HDFS/S3/DBFS path on a cluster): iteration
+    state then survives executor loss, the right trade at cluster
+    scale. Local mode keeps the default ``localCheckpoint``."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
-    edges = (
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint()
+    )
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -281,7 +299,8 @@ def connected_components(
                 "left",
             )
             .select("id", F.coalesce("ll", "label").alias("label"))
-        ).localCheckpoint()
+        )
+        jumped = _ckpt(jumped)
         changed = (
             jumped.join(labels.select("id", F.col("label").alias("old")), "id")
             .filter(F.col("label") != F.col("old"))

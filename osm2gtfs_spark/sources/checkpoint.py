@@ -107,6 +107,20 @@ class CheckpointCatalog:
         return back
 
     def read(self, stage: str) -> DataFrame:
+        m = self.manifest(stage)
+        if (
+            m is not None
+            and m.get("row_count") == 0
+            and "schema_json" in m
+            and not os.path.exists(self._data_path(stage))
+        ):
+            # zero-row marker stage (see run_partitioned_stage): no data
+            # directory exists, the schema travels in the manifest
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema_json"]))
+            )
         return self.spark.read.parquet(self._data_path(stage))
 
     def run_stage(self, stage: str, fn, inputs: list[str] | None = None) -> DataFrame:
@@ -209,9 +223,32 @@ class CheckpointCatalog:
                 with open(tmp, "w") as f:
                     json.dump(rec, f)
                 os.replace(tmp, path)
+        if todo_vals and os.path.exists(self._manifest_path(stage)):
+            # a previous run committed the zero-row marker; real data
+            # exists now, so the marker manifest is stale — drop it
+            # (partitioned stages track completion in the partlog)
+            os.remove(self._manifest_path(stage))
         if not os.path.exists(data):
-            # first run with an empty stage output: nothing was written,
-            # so return an empty frame of the stage schema instead of
-            # letting read() fail on a missing parquet path
-            return self.spark.createDataFrame([], df.schema)
+            # first run with an empty stage output (ADVICE r3): commit a
+            # zero-row marker manifest so the stage is readable by other
+            # callers (catalog.read) and visible in metrics() like every
+            # committed stage; the schema travels in the manifest since
+            # there is no parquet footer to infer it from
+            os.makedirs(self._dir(stage), exist_ok=True)
+            manifest = {
+                "stage": stage,
+                "snapshot_id": f"{stage}-{int(time.time() * 1000)}",
+                "row_count": 0,
+                "n_partitions": 0,
+                "inputs": inputs or [],
+                "partitions": [],
+                "schema": df.schema.simpleString(),
+                "schema_json": json.dumps(df.schema.jsonValue()),
+                "created_unix": time.time(),
+            }
+            tmp = self._manifest_path(stage) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path(stage))
+            return self.read(stage)
         return self.read(stage)

@@ -31,12 +31,43 @@ FEED_INFO_HEADER = [
 ]
 
 
+# _rows collects a member table to the driver — sane for national GTFS
+# feeds (MBs), catastrophic if someone points a corpus-scale table at the
+# golden-dialect assembly. Guardrail (VERDICT r3 item 5): count first,
+# refuse above this and point at the sharded distributed writer.
+MAX_COLLECT_ROWS = 5_000_000
+
+
+def _guarded_collect(df: DataFrame) -> list:
+    # ONE action: collect at most MAX+1 rows (the limit bounds what can
+    # reach the driver even before the check), then refuse if over — no
+    # separate count job that would recompute the member chain twice.
+    rows = df.limit(MAX_COLLECT_ROWS + 1).collect()
+    if len(rows) > MAX_COLLECT_ROWS:
+        raise ValueError(
+            f"member table exceeds MAX_COLLECT_ROWS={MAX_COLLECT_ROWS}: "
+            "driver-side golden-dialect assembly is for feed-scale data; "
+            "use gtfs_sink.write_gtfs_zip(shards=N) for corpus-scale exports"
+        )
+    return rows
+
+
 def _rows(df: DataFrame, cols: list[str], fill: dict[str, str] | None = None) -> list[list[str]]:
+    """Member rows with config-level fill DEFAULTS: a column value
+    present and non-null on the row wins; ``fill`` supplies the value
+    only when the column is absent or null (ADVICE r3 — a table that
+    legitimately carries per-row agency_id must not be overwritten by
+    the config constant)."""
     fill = fill or {}
     out = []
-    for r in df.collect():
+    for r in _guarded_collect(df):
         d = r.asDict()
-        out.append([fill.get(c, d.get(c, "")) for c in cols])
+        out.append(
+            [
+                d[c] if c in d and d[c] is not None else fill.get(c, "")
+                for c in cols
+            ]
+        )
     return out
 
 
@@ -182,15 +213,15 @@ def members_br_florianopolis(t, config: dict) -> dict[str, bytes]:
         ),
         "stops.txt": transitfeed_csv_bytes(
             ["stop_lat", "stop_lon", "stop_id", "parent_station", "stop_name", "location_type"],
-            [[py2str(r["lat"]), py2str(r["lon"]), r["stop_id"], "", r["name"], "0"] for r in t.stops.collect()],
+            [[py2str(r["lat"]), py2str(r["lon"]), r["stop_id"], "", r["name"], "0"] for r in _guarded_collect(t.stops)],
         ),
         "stop_times.txt": transitfeed_csv_bytes(
             ["trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence", "stop_headsign", "pickup_type", "drop_off_type", "shape_dist_traveled", "timepoint"],
-            [[r["trip_id"], r["arrival_time"], r["departure_time"], r["stop_id"], r["stop_sequence"], "", "", "", "", ""] for r in t.stop_times.collect()],
+            [[r["trip_id"], r["arrival_time"], r["departure_time"], r["stop_id"], r["stop_sequence"], "", "", "", "", ""] for r in _guarded_collect(t.stop_times)],
         ),
         "shapes.txt": transitfeed_csv_bytes(
             ["shape_id", "shape_pt_lat", "shape_pt_lon", "shape_pt_sequence", "shape_dist_traveled"],
-            [[r["shape_id"], r["shape_pt_lat"], r["shape_pt_lon"], r["shape_pt_sequence"], ""] for r in t.shapes.collect()],
+            [[r["shape_id"], r["shape_pt_lat"], r["shape_pt_lon"], r["shape_pt_sequence"], ""] for r in _guarded_collect(t.shapes)],
         ),
     }
     fi = _feed_info_member(config)
@@ -228,7 +259,7 @@ def members_ci_abidjan(t, config: dict) -> dict[str, bytes]:
             ["stop_lat", "stop_lon", "stop_id", "stop_name", "location_type"],
             [
                 [str(r["lat"]), str(r["lon"]), r["stop_id"], r["name"], "0"]
-                for r in t.stops.collect()
+                for r in _guarded_collect(t.stops)
             ],
         ),
         "stop_times.txt": transitfeed_csv_bytes(

@@ -143,3 +143,28 @@ def test_mid_tiling_partition_resume(spark, tmp_path):
             assert log2[v]["snapshot_id"] == rec["snapshot_id"]
         assert log2[v]["rows"] == rec["rows"]
         assert log2[v]["checksum"] == rec["checksum"]
+
+
+def test_empty_stage_marker_readable(spark, tmp_path):
+    """ADVICE r3: an empty first run must commit a readable zero-row
+    marker (manifest with schema) so catalog.read(stage) by another
+    caller works and the stage shows in metrics(); a later run with
+    real data replaces the marker."""
+    from osm2gtfs_spark.sources.checkpoint import CheckpointCatalog
+
+    cat = CheckpointCatalog(spark, str(tmp_path / "ckpt"))
+    empty = spark.createDataFrame([], "tile string, v int")
+    out = cat.run_partitioned_stage("void2", lambda: empty, "tile")
+    assert out.count() == 0
+
+    back = cat.read("void2")  # a DIFFERENT caller reading the stage
+    assert back.count() == 0 and back.schema == empty.schema
+    assert "void2" in {m["stage"] for m in cat.metrics()}
+    assert cat.is_complete("void2")
+
+    df = spark.createDataFrame([("t", 1)], "tile string, v int")
+    out2 = cat.run_partitioned_stage("void2", lambda: df, "tile")
+    assert out2.count() == 1
+    # marker manifest dropped once data exists (partlog tracks completion)
+    assert cat.manifest("void2") is None
+    assert cat.read("void2").count() == 1

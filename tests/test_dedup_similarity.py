@@ -480,3 +480,22 @@ def test_ivf_centroids_match_numpy_reference(spark):
     # determinism: same input partitioning -> bit-identical output
     again = SIM.ivf_centroids(df, n_cells=4, iters=3)
     assert got.tolist() == again
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """VERDICT r3 item 4: checkpoint_dir switches lineage truncation to
+    RELIABLE checkpoints (survive executor loss); results identical."""
+    import os
+
+    chain = [(i, i + 1) for i in range(12)] + [(50, 51)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        r.doc_id: r.component_id
+        for r in DD.connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert all(got[i] == 0 for i in range(13))
+    assert got[50] == got[51] == 50
+    # the reliable checkpoint actually materialized RDD state on disk
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "no reliable checkpoint files written"

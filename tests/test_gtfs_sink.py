@@ -131,3 +131,26 @@ def test_zip_shard_invariance(tables, tmp_path):
     p1 = write_gtfs_zip(tables, str(tmp_path / "one.zip"), shards=1)
     p4 = write_gtfs_zip(tables, str(tmp_path / "four.zip"), shards=4)
     assert open(p1, "rb").read() == open(p4, "rb").read()
+
+
+def test_member_rows_guardrail_and_fill_precedence(spark, monkeypatch):
+    """VERDICT r3 item 5 + ADVICE r3: driver-side member assembly must
+    refuse corpus-scale tables, and per-row column values must beat
+    config-level fill constants (fill is a default, not an override)."""
+    import pytest
+
+    import osm2gtfs_spark.sources.feed_members as FM
+
+    monkeypatch.setattr(FM, "MAX_COLLECT_ROWS", 3)
+    big = spark.range(10).selectExpr("cast(id as string) as stop_id")
+    with pytest.raises(ValueError, match="MAX_COLLECT_ROWS"):
+        FM._rows(big, ["stop_id"])
+
+    df = spark.createDataFrame(
+        [("r1", "A"), ("r2", None)], "route_id string, agency_id string"
+    )
+    rows = sorted(FM._rows(df, ["route_id", "agency_id"], fill={"agency_id": "CFG"}))
+    assert rows == [["r1", "A"], ["r2", "CFG"]]
+    # column absent entirely -> fill, then ""
+    rows2 = sorted(FM._rows(df.select("route_id"), ["route_id", "agency_id", "route_desc"]))
+    assert rows2 == [["r1", "", ""], ["r2", "", ""]]
