@@ -150,6 +150,15 @@ def run(args, spark=None) -> str:
         feed_end = fi.get("end_date", "20250101")
         has_schedule = "timetable" in inputs or config.get("schedule_source")
         if has_schedule:
+            if catalog is not None:
+                # ADVICE r3: the user configured cache_dir but this path
+                # cannot honor it — say so at pipeline-selection time,
+                # not only when a --refresh flag no-ops
+                log.warning(
+                    "schedule pipeline is not checkpointed: cache_dir=%r is "
+                    "ignored on this path (full recompute every run)",
+                    config["cache_dir"],
+                )
             if "timetable" in inputs:
                 # a configured timetable file is DATA, not just a mode
                 # switch: its schedule docs join the interleaved corpus
@@ -189,6 +198,7 @@ def run(args, spark=None) -> str:
             default_agency=config.get("agency"),
             start_date=fi.get("start_date", "20200101"),
             end_date=fi.get("end_date", "20201231"),
+            solar_times=config.get("solar_times"),
         )
         members = FM.members_ci_abidjan(tables, config)
     elif selector == "br_florianopolis":

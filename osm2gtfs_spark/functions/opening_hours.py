@@ -71,8 +71,17 @@ _OFF_RE = re.compile(r"\b(?:off|closed)\s*$", re.IGNORECASE)
 # a weekly service window doesn't carry — the fixed substitution is the
 # documented engine policy (the reference's transporthours path has no
 # defined behavior here; its feeds never exercise variable times).
+# Per-city overrides (VERDICT r3 item 6) come in via the ``solar_times``
+# parameter of tags_to_windows / oh_windows and the CLI config key
+# ``solar_times`` ({"sunrise": "05:45", ...} merged over these defaults).
 _VARIABLE_TIMES = {"sunrise": "06:00", "dawn": "06:00", "sunset": "18:00", "dusk": "18:00"}
 _VARIABLE_RE = re.compile(r"\b(sunrise|sunset|dawn|dusk)\b", re.IGNORECASE)
+
+
+def _solar_table(solar_times: dict[str, str] | None) -> dict[str, str]:
+    if not solar_times:
+        return _VARIABLE_TIMES
+    return {**_VARIABLE_TIMES, **{k.lower(): v for k, v in solar_times.items()}}
 
 # holiday selectors carry no weekday: PH (public) and SH (school)
 _HOLIDAY_TOKENS = frozenset({"PH", "SH"})
@@ -148,7 +157,9 @@ def _parse_days(spec: str) -> frozenset[int]:
     return frozenset(days) if days else ALL_DAYS
 
 
-def _parse_rules(s: str | None) -> list[tuple[frozenset[int], list[tuple[int, int]], bool]]:
+def _parse_rules(
+    s: str | None, solar_times: dict[str, str] | None = None
+) -> list[tuple[frozenset[int], list[tuple[int, int]], bool]]:
     """opening_hours → ordered [(days, [(start,end)...], is_off)] rules.
 
     Handles the transporthours-relevant grammar beyond the golden
@@ -157,7 +168,8 @@ def _parse_rules(s: str | None) -> list[tuple[frozenset[int], list[tuple[int, in
     and 'week N-M' selectors (treated as always-active)."""
     if not s:
         return []
-    s = _VARIABLE_RE.sub(lambda m: _VARIABLE_TIMES[m.group(1).lower()], s.strip())
+    table = _solar_table(solar_times)
+    s = _VARIABLE_RE.sub(lambda m: table[m.group(1).lower()], s.strip())
     if s == "24/7":
         return [(ALL_DAYS, [(0, 24 * 60)], False)]
     rules: list[tuple[frozenset[int], list[tuple[int, int]], bool]] = []
@@ -196,7 +208,9 @@ def _parse_rules(s: str | None) -> list[tuple[frozenset[int], list[tuple[int, in
     return rules
 
 
-def parse_opening_hours(s: str | None) -> list[tuple[frozenset[int], int, int]]:
+def parse_opening_hours(
+    s: str | None, solar_times: dict[str, str] | None = None
+) -> list[tuple[frozenset[int], int, int]]:
     """opening_hours → [(days, start_min, end_min)]; unparseable → [].
 
     Flat view (no inter-rule precedence) — used for conditional-interval
@@ -204,13 +218,15 @@ def parse_opening_hours(s: str | None) -> list[tuple[frozenset[int], int, int]]:
     full later-rule-wins precedence via _parse_rules."""
     return [
         (days, start, end)
-        for days, spans, is_off in _parse_rules(s)
+        for days, spans, is_off in _parse_rules(s, solar_times)
         if not is_off
         for start, end in spans
     ]
 
 
-def parse_conditional(s: str | None) -> list[tuple[int, frozenset[int], int, int]]:
+def parse_conditional(
+    s: str | None, solar_times: dict[str, str] | None = None
+) -> list[tuple[int, frozenset[int], int, int]]:
     """interval:conditional → [(headway_secs, days, start_min, end_min)]."""
     if not s:
         return []
@@ -224,7 +240,7 @@ def parse_conditional(s: str | None) -> list[tuple[int, frozenset[int], int, int
         if headway is None:
             continue
         cond = cond.strip().strip("()").strip()
-        for days, start, end in parse_opening_hours(cond):
+        for days, start, end in parse_opening_hours(cond, solar_times):
             out.append((headway, days, start, end))
     return out
 
@@ -247,17 +263,20 @@ def tags_to_windows(
     opening_hours: str | None,
     interval: str | None,
     conditional: str | None = None,
+    solar_times: dict[str, str] | None = None,
 ) -> list[dict]:
     """One schedule-tag combination → GTFS frequency windows.
 
     Returns [] when either opening_hours or interval is missing /
     unparseable (the caller then falls back to line-level tags, then to
-    the city default — trips_creator_ci_abidjan.py:139-148)."""
+    the city default — trips_creator_ci_abidjan.py:139-148).
+    ``solar_times`` overrides the civil defaults for sunrise/dawn/
+    sunset/dusk ({"sunrise": "05:45", ...})."""
     base = parse_interval_secs(interval)
-    rules = _parse_rules(opening_hours)
+    rules = _parse_rules(opening_hours, solar_times)
     if base is None or not any(spans for _, spans, off in rules if not off):
         return []
-    conds = parse_conditional(conditional)
+    conds = parse_conditional(conditional, solar_times)
 
     # later-rule-wins precedence: each rule (re)defines the open spans of
     # the days it names; 'off' rules clear them (standard opening_hours
@@ -322,34 +341,52 @@ WINDOW_TYPE = ArrayType(
 )
 
 
-@pandas_udf(WINDOW_TYPE)
-def _oh_windows_udf(
-    opening: pd.Series, interval: pd.Series, conditional: pd.Series
-) -> pd.Series:
-    # memoize per distinct tag combination — batches are dominated by
-    # a handful of distinct schedules, so the parser runs O(distinct)
-    cache: dict[tuple, list] = {}
+def _make_oh_windows_udf(solar_times: dict[str, str] | None):
+    @pandas_udf(WINDOW_TYPE)
+    def _udf(
+        opening: pd.Series, interval: pd.Series, conditional: pd.Series
+    ) -> pd.Series:
+        # memoize per distinct tag combination — batches are dominated by
+        # a handful of distinct schedules, so the parser runs O(distinct)
+        cache: dict[tuple, list] = {}
 
-    def one(o, i, c):
-        key = (o, i, c)
-        if key not in cache:
-            cache[key] = [
-                (
-                    w["start_secs"],
-                    w["end_secs"],
-                    w["headway_secs"],
-                    w["service_id"],
-                    w["day_flags"],
-                )
-                for w in tags_to_windows(o, i, c)
-            ]
-        return cache[key]
+        def one(o, i, c):
+            key = (o, i, c)
+            if key not in cache:
+                cache[key] = [
+                    (
+                        w["start_secs"],
+                        w["end_secs"],
+                        w["headway_secs"],
+                        w["service_id"],
+                        w["day_flags"],
+                    )
+                    for w in tags_to_windows(o, i, c, solar_times)
+                ]
+            return cache[key]
 
-    return pd.Series(
-        [one(o, i, c) for o, i, c in zip(opening, interval, conditional)]
-    )
+        return pd.Series(
+            [one(o, i, c) for o, i, c in zip(opening, interval, conditional)]
+        )
+
+    return _udf
 
 
-def oh_windows(opening: Column, interval: Column, conditional: Column) -> Column:
-    """Vectorized opening_hours+interval[+conditional] → array of windows."""
+_oh_windows_udf = _make_oh_windows_udf(None)
+
+
+def oh_windows(
+    opening: Column,
+    interval: Column,
+    conditional: Column,
+    solar_times: dict[str, str] | None = None,
+) -> Column:
+    """Vectorized opening_hours+interval[+conditional] → array of windows.
+
+    ``solar_times`` (a small config constant, e.g. the CLI's
+    ``solar_times`` key) overrides the civil sunrise/sunset defaults —
+    it is captured in the UDF closure, shipped with the task like any
+    broadcast constant."""
+    if solar_times:
+        return _make_oh_windows_udf(dict(solar_times))(opening, interval, conditional)
     return _oh_windows_udf(opening, interval, conditional)

@@ -165,13 +165,17 @@ def pii_scrub(
 
     Returns (doc_id, n_emails, n_ips, text_clean). Pure codegen
     (regexp_count / regexp_replace) — the training-pipeline PII pass at
-    its simplest; extend the pattern table for phones/keys as needed."""
+    its simplest; extend the pattern table for phones/keys as needed.
+
+    Counts are REPLACEMENTS MADE, stage by stage (ADVICE r3): emails
+    are redacted first, so n_ips is counted on the email-redacted text —
+    an IPv4 embedded inside an email address is redacted (and counted)
+    as part of the <EMAIL>, not double-reported as an IP."""
     t = F.col(text_col)
+    emails_redacted = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return docs.select(
         F.col(doc_id),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ).alias("text_clean"),
+        F.regexp_count(emails_redacted, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_replace(emails_redacted, IPV4_RE, "<IP>").alias("text_clean"),
     )

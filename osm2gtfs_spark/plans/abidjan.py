@@ -72,12 +72,13 @@ def _haversine_tf(lat1, lon1, lat2, lon2):
     return F.lit(2.0 * TRANSITFEED_RADIUS_M) * F.asin(F.sqrt(a))
 
 
-def _windows_for(tags_col):
+def _windows_for(tags_col, solar_times: dict | None = None):
     """Schedule windows from a tags map column ([] when unparseable)."""
     return oh_windows(
         F.try_element_at(tags_col, F.lit("opening_hours")),
         F.try_element_at(tags_col, F.lit("interval")),
         F.try_element_at(tags_col, F.lit("interval:conditional")),
+        solar_times=solar_times,
     )
 
 
@@ -87,6 +88,7 @@ def build_abidjan_tables(
     default_agency: dict | None = None,
     start_date: str = "20200101",
     end_date: str = "20201231",
+    solar_times: dict | None = None,
 ) -> AbidjanTables:
     default_agency = default_agency or {
         "agency_id": "divers",
@@ -175,16 +177,17 @@ def build_abidjan_tables(
 
     # --- service windows: itinerary tags ▸ line tags ▸ city default -----
     line_windows = lines.select(
-        "line_osm_id", _windows_for(F.col("tags")).alias("line_win")
+        "line_osm_id", _windows_for(F.col("tags"), solar_times).alias("line_win")
     )
     default_win = _windows_for(
         F.create_map(
             F.lit("opening_hours"), F.lit(DEFAULT_OPENING_HOURS),
             F.lit("interval"), F.lit(DEFAULT_INTERVAL),
-        )
+        ),
+        solar_times,
     )
     itin_win = (
-        itins.withColumn("itin_win", _windows_for(F.col("tags")))
+        itins.withColumn("itin_win", _windows_for(F.col("tags"), solar_times))
         .join(line_windows, "line_osm_id")
         .withColumn("def_win", default_win)
         .withColumn(

@@ -969,9 +969,13 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        doc_id % 256, '.0.', doc_id % 200, '.1 ok')
                            ELSE text END AS text
                FROM documents)
+    -- counts are staged REPLACEMENTS MADE: n_ips counts on the
+    -- email-redacted text, so an IPv4 inside an email is reported once
     SELECT doc_id,
            CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-           CAST(LEN(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           CAST(LEN(regexp_extract_all(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
            md5(regexp_replace(regexp_replace(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS clean_md5

@@ -314,3 +314,26 @@ def test_cli_accra_golden_end_to_end(spark, tmp_path):
                 collections.Counter(b.split(b"\r\n")) - collections.Counter(a.split(b"\r\n"))
             )
             assert not diff, f"{name}: {sum(diff.values())} differing lines {list(diff)[:2]}"
+
+
+def test_cli_warns_schedule_path_not_checkpointed(spark, tmp_path, caplog):
+    """ADVICE r3: cache_dir + a schedule source selects the
+    non-checkpointed schedule pipeline — the CLI must say so up front."""
+    import logging
+
+    from osm2gtfs_spark.sources import docs as D
+
+    docs_path = str(tmp_path / "docs")
+    D.docs_df(spark, D.CitySpec(n_lines=2, with_schedule=True)).write.parquet(docs_path)
+    config = {
+        "inputs": {"docs_parquet": docs_path},
+        "cache_dir": str(tmp_path / "ckpt"),
+        "schedule_source": "docs",
+        "agency": {"agency_id": "X", "agency_name": "X", "agency_url": "u", "agency_timezone": "UTC"},
+        "output_file": str(tmp_path / "w.zip"),
+    }
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps(config))
+    with caplog.at_level(logging.WARNING, logger="osm2gtfs_spark.cli"):
+        cli.run(_args(["-c", str(cfg)]), spark=spark)
+    assert any("not checkpointed" in r.message for r in caplog.records)

@@ -384,3 +384,40 @@ def test_date_scoped_off_is_noop():
     assert tags_to_windows("Mo-Su 06:00-22:00; Jan 01-Jan 02 off", "00:30") == base
     # but a plain global off still clears
     assert tags_to_windows("Mo-Su 06:00-22:00; off", "00:30") == []
+
+
+def test_solar_time_overrides(spark):
+    """VERDICT r3 item 6: per-city solar overrides replace the civil
+    defaults for sunrise/dawn/sunset/dusk, in main rules AND
+    conditional-interval conditions; defaults unchanged otherwise."""
+    from osm2gtfs_spark.functions.opening_hours import oh_windows, tags_to_windows
+
+    default = tags_to_windows("Mo-Su sunrise-sunset", "01:00")
+    assert [(w["start_secs"], w["end_secs"]) for w in default] == [(6 * 3600, 18 * 3600)]
+
+    over = {"sunrise": "05:30", "sunset": "19:15"}
+    got = tags_to_windows("Mo-Su sunrise-sunset", "01:00", solar_times=over)
+    assert [(w["start_secs"], w["end_secs"]) for w in got] == [
+        (5 * 3600 + 1800, 19 * 3600 + 900)
+    ]
+    # conditional condition uses the override too
+    cond = tags_to_windows(
+        "Mo-Su 04:00-22:00", "01:00", "00:10 @ (Mo-Su sunrise-09:00)", solar_times=over
+    )
+    starts = sorted((w["start_secs"], w["end_secs"], w["headway_secs"]) for w in cond)
+    assert (5 * 3600 + 1800, 9 * 3600, 600) in starts
+
+    # the Column API ships the override in the UDF closure
+    df = spark.createDataFrame(
+        [("Mo-Su dawn-dusk", "00:30", None)], "oh string, iv string, cond string"
+    )
+    rows = (
+        df.select(
+            F.explode(
+                oh_windows(F.col("oh"), F.col("iv"), F.col("cond"), solar_times=over)
+            ).alias("w")
+        )
+        .select("w.start_secs", "w.end_secs")
+        .collect()
+    )
+    assert [(r.start_secs, r.end_secs) for r in rows] == [(6 * 3600, 18 * 3600)]

@@ -99,3 +99,22 @@ def test_line_dedup_corpus_invariants(spark):
     assert sorted(set(all_kept)) == sorted(all_kept)
     used = {line for _, text in rows for line in text.split("\n")}
     assert set(all_kept) == used
+
+
+def test_pii_scrub_staged_counts(spark):
+    """ADVICE r3: counts are replacements made — an IPv4 embedded in an
+    email address is redacted as part of <EMAIL> and NOT counted as an
+    IP; a standalone IP still is."""
+    from osm2gtfs_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail 10.1.2.3@example.com now"),        # IP only inside the email
+        (2, "server 10.1.2.3 and bob@x.org"),        # both standalone
+        (3, "no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_ips) == (1, 0)
+    assert "<EMAIL>" in got[1].text_clean and "<IP>" not in got[1].text_clean
+    assert (got[2].n_emails, got[2].n_ips) == (1, 1)
+    assert (got[3].n_emails, got[3].n_ips) == (0, 0)
