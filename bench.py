@@ -140,6 +140,71 @@ def main() -> None:
         sched_samples.append(round(time.time() - t0, 3))
     timings["gtfs_schedule_pipeline"] = sorted(sched_samples)[1]
 
+    # checkpointed pipeline (VERDICT r3 item 7): cold = every stage
+    # computed AND materialized to the catalog (the checkpoint overhead
+    # on record); resume = every stage complete, so the pipeline is pure
+    # manifest-check + parquet read-back (the resume win on record)
+    import shutil
+
+    from osm2gtfs_spark.plans.pipeline import run_frequency_pipeline_checkpointed
+    from osm2gtfs_spark.sources.checkpoint import CheckpointCatalog
+
+    ck_root = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        cat = CheckpointCatalog(spark, ck_root)
+        for key in ("gtfs_pipeline_checkpointed_cold", "gtfs_pipeline_checkpointed_resume"):
+            spark.catalog.clearCache()
+            docs = D.docs_df(spark, BENCH_CITY, n_partitions=32).cache()
+            docs.count()
+            t0 = time.time()
+            tabs = run_frequency_pipeline_checkpointed(docs, cat)
+            couts = [tabs.stop_times, tabs.stops, tabs.routes,
+                     tabs.trips, tabs.shapes, tabs.frequencies]
+            with ThreadPoolExecutor(max_workers=len(couts)) as ex:
+                list(ex.map(lambda t: t.count(), couts))
+            timings[key] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(ck_root, ignore_errors=True)
+
+    # streaming gate evidence (VERDICT r3 item 8): the SAME watermarked
+    # tile-coverage aggregation drained via Structured Streaming
+    # AvailableNow vs the equivalent batch groupBy on the bounded input —
+    # batch-equivalence of the results is asserted in tests; the wall
+    # times here put the streaming overhead on the per-round record
+    from pyspark.sql import functions as F
+
+    from osm2gtfs_spark.functions.geo import cell_id
+    from osm2gtfs_spark.streaming import events as SE
+
+    def to_points(df):
+        return df.select(
+            "ts",
+            ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+            ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+        )
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        out = SE.tile_coverage_stream(
+            to_points(SE.stream_events(spark, sf_dir)),
+            res=5, window="1 hour", watermark="2 hours",
+        )
+        SE.run_available_now(out, "bench_tiles_stream", os.path.join(td, "ck"))
+        stream_rows = spark.sql("SELECT COUNT(*) c FROM bench_tiles_stream").first()["c"]
+        timings["tile_coverage_stream_availablenow"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    batch_rows = (
+        to_points(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("w"),
+            cell_id("lat", "lon", 5).alias("cell_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .count()
+    )
+    timings["tile_coverage_batch_equiv"] = round(time.time() - t0, 3)
+    assert stream_rows == batch_rows, (stream_rows, batch_rows)
+
     # surface the latest N→4N scaling evidence (tools/scaling.py) so the
     # per-round BENCH json carries it alongside BASELINE.md
     scaling = {}

@@ -39,8 +39,13 @@ STOP_STAGES = ["nodes", "ways", "stops", "stations", "parent_map", "stops_final"
 ROUTE_STAGES = [
     "relations", "lines", "itineraries", "itin_stops", "shapes",
     "trips", "frequencies", "stop_times", "routes_final", "stops_final",
+    "per_service", "sched_filled",
 ]
-SCHEDULE_STAGES = ["schedule"]
+# dependency closure of the schedule source (run_schedule_pipeline_checkpointed)
+SCHEDULE_STAGES = [
+    "schedule", "per_service", "sched_filled", "trips", "stop_times",
+    "routes_final", "stops_final",
+]
 
 DEDICATED_SELECTORS = ("gh_accra", "ci_abidjan", "br_florianopolis")
 
@@ -142,6 +147,7 @@ def run(args, spark=None) -> str:
             run_frequency_pipeline,
             run_frequency_pipeline_checkpointed,
             run_schedule_pipeline,
+            run_schedule_pipeline_checkpointed,
         )
         from osm2gtfs_spark.sources.gtfs_sink import write_gtfs_zip
 
@@ -150,23 +156,22 @@ def run(args, spark=None) -> str:
         feed_end = fi.get("end_date", "20250101")
         has_schedule = "timetable" in inputs or config.get("schedule_source")
         if has_schedule:
-            if catalog is not None:
-                # ADVICE r3: the user configured cache_dir but this path
-                # cannot honor it — say so at pipeline-selection time,
-                # not only when a --refresh flag no-ops
-                log.warning(
-                    "schedule pipeline is not checkpointed: cache_dir=%r is "
-                    "ignored on this path (full recompute every run)",
-                    config["cache_dir"],
-                )
             if "timetable" in inputs:
                 # a configured timetable file is DATA, not just a mode
                 # switch: its schedule docs join the interleaved corpus
                 docs = docs.unionByName(timetable_docs_df(spark, inputs["timetable"]))
-            tables = run_schedule_pipeline(
-                docs, name_without=name_without,
-                feed_start=feed_start, feed_end=feed_end, eager=True,
-            )
+            if catalog is not None:
+                # ADVICE r3 follow-through: cache_dir is honored on the
+                # schedule path too (stage-checkpointed, resume-capable)
+                tables = run_schedule_pipeline_checkpointed(
+                    docs, catalog, name_without,
+                    feed_start=feed_start, feed_end=feed_end,
+                )
+            else:
+                tables = run_schedule_pipeline(
+                    docs, name_without=name_without,
+                    feed_start=feed_start, feed_end=feed_end, eager=True,
+                )
         elif catalog is not None:
             tables = run_frequency_pipeline_checkpointed(
                 docs, catalog, name_without, feed_start=feed_start, feed_end=feed_end

@@ -215,6 +215,173 @@ def run_frequency_pipeline_checkpointed(
     )
 
 
+def run_schedule_pipeline_checkpointed(
+    docs: DataFrame,
+    catalog,
+    name_without: str = "stop",
+    feed_start: str = "20240101",
+    feed_end: str = "20250101",
+) -> GtfsTables:
+    """Schedule-join pipeline with every stage materialized to the
+    checkpoint catalog (ADVICE r3: a configured ``cache_dir`` previously
+    fell back to full recompute on this path). Stage DAG mirrors
+    :func:`run_schedule_pipeline`; OSM-side stage names match the
+    frequency pipeline so the CLI ``--refresh-*`` groups invalidate the
+    same closures, and the schedule side adds ``schedule`` (decode),
+    ``per_service`` (J5 join + A3 dedup) and ``sched_filled`` (J7
+    alignment + W6 interpolation)."""
+    from osm2gtfs_spark.plans import schedule_path as SP
+
+    cat = catalog
+    nodes = cat.run_stage("nodes", lambda: docs_mod.decode_nodes(docs), ["docs"])
+    ways = cat.run_stage("ways", lambda: docs_mod.decode_ways(docs), ["docs"])
+    relations = cat.run_stage("relations", lambda: docs_mod.decode_relations(docs), ["docs"])
+    schedule = cat.run_stage("schedule", lambda: docs_mod.decode_schedule(docs), ["docs"])
+    stops = cat.run_stage(
+        "stops", lambda: gtfs.build_stops(nodes, ways, name_without), ["nodes", "ways"]
+    )
+    stations = cat.run_stage(
+        "stations", lambda: gtfs.build_stations(relations, stops)[0], ["relations", "stops"]
+    )
+    parent_map = cat.run_stage(
+        "parent_map", lambda: gtfs.build_stations(relations, stops)[1], ["relations", "stops"]
+    )
+    lines = cat.run_stage("lines", lambda: gtfs.build_lines(relations)[0], ["relations"])
+    itineraries = cat.run_stage(
+        "itineraries", lambda: gtfs.build_lines(relations)[1], ["relations"]
+    )
+    itin_stops = cat.run_stage(
+        "itin_stops", lambda: gtfs.itinerary_stops(relations), ["relations"]
+    )
+    shapes = cat.run_stage(
+        "shapes",
+        lambda: gtfs.build_shapes(relations, ways, nodes).withColumn(
+            "shape_id",
+            F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
+        ),
+        ["relations", "ways", "nodes"],
+    )
+    per_service = cat.run_stage(
+        "per_service",
+        lambda: SP.itinerary_service_schedule(SP.match_schedule(itineraries, schedule)),
+        ["itineraries", "schedule"],
+    )
+
+    def _filled():
+        itin_stops_named = (
+            itin_stops.join(stops.select("stop_key", "name"), "stop_key", "left")
+            .join(parent_map, "stop_key", "left")
+            .join(
+                stations.select(
+                    F.col("station_key").alias("parent_station"),
+                    F.col("name").alias("parent_name"),
+                ),
+                "parent_station",
+                "left",
+            )
+            .select("itinerary_osm_id", "pos", "stop_key", "name", "parent_name")
+        )
+        aligned = SP.align_stops(itin_stops_named, per_service)
+        return SP.interpolate_times_distance(
+            aligned, stops.select("stop_key", "lat", "lon")
+        )
+
+    filled = cat.run_stage(
+        "sched_filled", _filled, ["itin_stops", "stops", "parent_map", "stations", "per_service"]
+    )
+    trips_full = cat.run_stage(
+        "trips",
+        lambda: global_index(
+            per_service.select(
+                "itinerary_osm_id",
+                "service",
+                "route_id",
+                "to",
+                "itinerary_id",
+                "seq",
+                "svc_order",
+                F.posexplode("times").alias("trip_seq", "_times"),
+            ),
+            ["route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"],
+            "_trip_idx",
+            small_threshold=SMALL_INDEX_THRESHOLD,
+        )
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
+        .select(
+            "trip_id",
+            "route_id",
+            SP.service_id_col().alias("service_id"),
+            F.col("itinerary_id").alias("shape_id"),
+            F.col("to").alias("trip_headsign"),
+            "itinerary_osm_id",
+            "service",
+            "trip_seq",
+        ),
+        ["per_service"],
+    )
+
+    def _stop_times():
+        st_order = Window.partitionBy("trip_id").orderBy("pos")
+        return (
+            filled.join(
+                trips_full.select("trip_id", "itinerary_osm_id", "service", "trip_seq"),
+                ["itinerary_osm_id", "service", "trip_seq"],
+            )
+            .filter(F.col("time_secs_filled").isNotNull())
+            .select(
+                "trip_id",
+                gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("arrival_time"),
+                gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("departure_time"),
+                "stop_key",
+                F.row_number().over(st_order).alias("stop_sequence"),
+                "timepoint",
+                "pos",
+            )
+            .drop("pos")
+        )
+
+    stop_times = cat.run_stage("stop_times", _stop_times, ["sched_filled", "trips"])
+    live_trips = trips_full.join(
+        stop_times.select("trip_id").distinct(), "trip_id", "left_semi"
+    )
+    trips = live_trips.drop("itinerary_osm_id", "service", "trip_seq")
+    calendar, calendar_dates = SP.build_calendar(
+        per_service.select("service"), feed_start, feed_end
+    )
+    stops_final = cat.run_stage(
+        "stops_final",
+        lambda: gtfs.prune_unused_stops(stops, stop_times).join(
+            parent_map, "stop_key", "left"
+        ),
+        ["stops", "stop_times", "parent_map"],
+    )
+    routes_final = cat.run_stage(
+        "routes_final",
+        lambda: gtfs.prune_unused_routes(lines, trips).select(
+            "route_id",
+            F.col("name").alias("route_long_name"),
+            F.col("route_id").alias("route_short_name"),
+            "route_type",
+            F.col("colour").alias("route_color"),
+        ),
+        ["lines", "trips"],
+    )
+    tables = GtfsTables(
+        stops=stops_final,
+        routes=routes_final,
+        trips=trips,
+        stop_times=stop_times,
+        shapes=shapes,
+        frequencies=docs.sparkSession.createDataFrame(
+            [], "trip_id string, start_time string, end_time string, headway_secs int, exact_times int"
+        ),
+        calendar=calendar,
+        stations=stations,
+    )
+    tables.calendar_dates = calendar_dates  # type: ignore[attr-defined]
+    return tables
+
+
 def run_schedule_pipeline(
     docs: DataFrame,
     name_without: str = "stop",

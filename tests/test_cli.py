@@ -316,12 +316,13 @@ def test_cli_accra_golden_end_to_end(spark, tmp_path):
             assert not diff, f"{name}: {sum(diff.values())} differing lines {list(diff)[:2]}"
 
 
-def test_cli_warns_schedule_path_not_checkpointed(spark, tmp_path, caplog):
-    """ADVICE r3: cache_dir + a schedule source selects the
-    non-checkpointed schedule pipeline — the CLI must say so up front."""
-    import logging
-
+def test_cli_schedule_path_checkpointed(spark, tmp_path):
+    """ADVICE r3 follow-through: cache_dir + a schedule source now runs
+    the stage-checkpointed schedule pipeline — stages materialize, plain
+    re-runs resume, and --refresh-schedule-source recomputes exactly the
+    schedule-side closure."""
     from osm2gtfs_spark.sources import docs as D
+    from osm2gtfs_spark.sources.checkpoint import CheckpointCatalog
 
     docs_path = str(tmp_path / "docs")
     D.docs_df(spark, D.CitySpec(n_lines=2, with_schedule=True)).write.parquet(docs_path)
@@ -334,6 +335,37 @@ def test_cli_warns_schedule_path_not_checkpointed(spark, tmp_path, caplog):
     }
     cfg = tmp_path / "c.json"
     cfg.write_text(json.dumps(config))
-    with caplog.at_level(logging.WARNING, logger="osm2gtfs_spark.cli"):
-        cli.run(_args(["-c", str(cfg)]), spark=spark)
-    assert any("not checkpointed" in r.message for r in caplog.records)
+    out = cli.run(_args(["-c", str(cfg)]), spark=spark)
+    with zipfile.ZipFile(out) as z:
+        assert len(z.read("stop_times.txt").splitlines()) > 1
+
+    cat = CheckpointCatalog(spark, config["cache_dir"])
+    snaps1 = {m["stage"]: m["snapshot_id"] for m in cat.metrics()}
+    assert {"schedule", "per_service", "sched_filled", "stop_times"} <= set(snaps1)
+
+    # plain re-run resumes every stage
+    cli.run(_args(["-c", str(cfg), "-o", str(tmp_path / "w2.zip")]), spark=spark)
+    snaps2 = {m["stage"]: m["snapshot_id"] for m in cat.metrics()}
+    assert snaps2 == snaps1
+
+    # --refresh-schedule-source: schedule closure recomputed, OSM decode kept
+    cli.run(
+        _args(["-c", str(cfg), "-o", str(tmp_path / "w3.zip"), "--refresh-schedule-source"]),
+        spark=spark,
+    )
+    snaps3 = {m["stage"]: m["snapshot_id"] for m in cat.metrics()}
+    assert snaps3["schedule"] != snaps1["schedule"]
+    assert snaps3["per_service"] != snaps1["per_service"]
+    assert snaps3["nodes"] == snaps1["nodes"]
+    assert snaps3["relations"] == snaps1["relations"]
+
+    # checkpointed output == non-checkpointed output, member for member
+    config2 = {k: v for k, v in config.items() if k != "cache_dir"}
+    config2["output_file"] = str(tmp_path / "plain.zip")
+    cfg2 = tmp_path / "c2.json"
+    cfg2.write_text(json.dumps(config2))
+    out_plain = cli.run(_args(["-c", str(cfg2)]), spark=spark)
+    with zipfile.ZipFile(out) as za, zipfile.ZipFile(out_plain) as zb:
+        assert set(za.namelist()) == set(zb.namelist())
+        for name in za.namelist():
+            assert sorted(za.read(name).splitlines()) == sorted(zb.read(name).splitlines()), name
