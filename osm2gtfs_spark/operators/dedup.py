@@ -121,13 +121,40 @@ def minhash_bands_fast(doc_id: str, text_col: str, docs: DataFrame, k: int = 8, 
     return sig.select(doc_id, F.posexplode(bands).alias("band_idx", "band_hash"))
 
 
+def minhash_signature_md5_fold(sh: Column, k: int = 8) -> Column:
+    """All k MD5 minhashes in ONE aggregate fold (array<string>).
+
+    Bit-identical to :func:`minhash_signature` (same ``i:`` salts, same
+    lexicographic min over md5 hex), but the shingle array is traversed
+    once by a compact expression instead of k independent
+    array_min(transform(...)) trees. The compactness is load-bearing
+    for the banding step: posexplode's GenerateExec re-evaluates its
+    generator per OUTPUT row outside whole-stage codegen, so feeding it
+    k inlined signature trees cost ~18× (4.8 s vs 0.27 s on the sf0.01
+    gate corpus). Init sentinel 'g' sorts after every md5 hex digit."""
+    init = F.array_repeat(F.lit("g"), k)
+
+    def merge(acc: Column, s: Column) -> Column:
+        hs = F.array(*[F.md5(F.concat(F.lit(f"{i}:"), s)) for i in range(k)])
+        return F.zip_with(acc, hs, lambda x, y: F.least(x, y))
+
+    return F.aggregate(sh, init, merge)
+
+
 def minhash_bands(doc_id: str, text_col: str, docs: DataFrame, k: int = 8, band_size: int = 2) -> DataFrame:
-    """docs → (doc_id, band_idx, band_hash): the LSH bucketing table."""
-    sig = docs.select(F.col(doc_id), *minhash_signature(shingles(F.col(text_col)), k))
+    """docs → (doc_id, band_idx, band_hash): the LSH bucketing table.
+
+    The signature lands in an intermediate projection referenced k/band
+    times by the band hashes — an expensive multi-referenced alias, which
+    CollapseProject deliberately does NOT inline, so the fold runs once
+    per row and the posexplode generator only hashes k strings."""
+    sig = docs.select(
+        F.col(doc_id), minhash_signature_md5_fold(shingles(F.col(text_col)), k).alias("sig")
+    )
     n_bands = k // band_size
     bands = F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]))
+            F.md5(F.concat_ws("|", *[F.col("sig")[b * band_size + j] for j in range(band_size)]))
             for b in range(n_bands)
         ]
     )

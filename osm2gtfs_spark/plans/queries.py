@@ -580,7 +580,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole signature chain is MD5-based column math, reproduced
     bit-identically by the oracle."""
     docs = tpch.load(spark, sf_dir, "documents")
-    bands = DD.minhash_bands("doc_id", "text", docs, k=8, band_size=2)
+    # persist: lsh_candidate_pairs consumes the band table three times
+    # (hot-bucket sizing + both join sides)
+    bands = DD.minhash_bands("doc_id", "text", docs, k=8, band_size=2).persist()
     return DD.lsh_candidate_pairs(bands)
 
 
@@ -597,7 +599,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard verification on the LSH candidate pairs."""
     docs = tpch.load(spark, sf_dir, "documents")
-    pairs = DD.lsh_candidate_pairs(DD.minhash_bands("doc_id", "text", docs, 8, 2))
+    bands = DD.minhash_bands("doc_id", "text", docs, 8, 2).persist()
+    pairs = DD.lsh_candidate_pairs(bands)
     return DD.ngram_jaccard(pairs, docs)
 
 
