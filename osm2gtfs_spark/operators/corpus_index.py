@@ -1,0 +1,191 @@
+"""Corpus indexing & retrieval operators — the search side of a
+training-data pipeline (term statistics, inverted index, TF-IDF
+keyword extraction, BM25 retrieval over the document corpus).
+
+Reference analog: the reference engine has no text-retrieval surface;
+these extend the LLM-data-pipeline family (SURVEY.md §2 extension
+block) the same way dedup/similarity do. Everything is expressed as
+two-level aggregations + equi joins:
+
+- ``term_counts``: explode(split) → groupBy(doc, token) — partial
+  aggregation combines map-side, so the shuffle carries (doc, token,
+  tf) rows, never raw token streams.
+- ``doc_freq`` / ``corpus_stats``: groupBy(token) / global agg — both
+  map-side combining; stopword skew lands on single counters, not row
+  explosions.
+- ``inverted_index``: groupBy(token).collect_list — the ONE operator
+  here with a genuine skew hazard (a stopword's posting list is the
+  corpus); ``max_df`` anti-joins hot tokens away first, the same
+  hot-key cap as dedup.lsh_candidate_pairs / decontaminate.
+- ``tfidf_topk``: tf ⋈ df on token (AQE picks broadcast when the
+  vocabulary fits) + a per-doc top-k window.
+- ``bm25_topk``: query tokens become an IN-list filter that prunes the
+  term table BEFORE any join (predicate pushdown to the scan), then
+  score-sum per doc and a bounded TakeOrdered top-k.
+
+Scoring dialect: all-INTEGER arithmetic (scaled idf ``N*1000 div df``,
+BM25 length normalization with k1=1, b=3/4 cleared to a common
+denominator). Floating ln/division would make the cross-engine oracle
+fragile at floor boundaries (ulp differences between the JVM and
+DuckDB); integer div is bit-exact in both. The ranking is monotone in
+the classic formulas for fixed corpus stats — the dialect is
+documented, deliberate, and oracle-enforced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+IDF_SCALE = 1000
+BM25_SCALE = 4000  # carries k1=1, b=3/4 cleared to integers (see bm25_topk)
+
+
+def _tokens(text_col) -> Column:
+    return F.filter(F.split(text_col, " ", -1), lambda t: t != "")
+
+
+def term_counts(
+    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, token, tf): per-document term frequencies."""
+    return (
+        docs.select(F.col(doc_id), F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy(doc_id, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl): token count per document — column math, no shuffle."""
+    return docs.select(F.col(doc_id), F.size(_tokens(F.col(text_col))).alias("dl"))
+
+
+def doc_freq(
+    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, df): number of documents containing each token."""
+    return (
+        docs.select(F.col(doc_id), F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def corpus_stats(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text") -> tuple[int, int]:
+    """(n_docs, total_tokens) — ONE aggregate job; at corpus scale these
+    are precomputed table stats, so the collect is a 1-row action."""
+    r = docs.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(_tokens(F.col(text_col)))).alias("s")
+    ).first()
+    return int(r["n"]), int(r["s"])
+
+
+def inverted_index(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """(token, df, postings): sorted posting lists per token.
+
+    ``max_df`` drops tokens present in more than that many documents
+    (stopword guard): a ubiquitous token's posting list IS the corpus,
+    which both skews the collect_list reducer and is useless for
+    retrieval. The hot-token list is ≤ vocab/max_df rows — broadcast
+    anti-join, the standard cap. Postings are sort_array'd structs
+    (doc_id asc) so the index is deterministic under any partitioning."""
+    tc = term_counts(docs, doc_id, text_col)
+    if max_df is not None:
+        hot = (
+            tc.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("token")
+        )
+        tc = tc.join(F.broadcast(hot), "token", "left_anti")
+    return (
+        tc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list(F.struct(F.col(doc_id), F.col("tf")))).alias(
+                "postings"
+            ),
+        )
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(doc_id, token, tf, score): top-k keywords per document by the
+    integer tf·idf dialect score = tf · (N·1000 div df).
+
+    Rank ties break on token asc — fully deterministic. ``n_docs``
+    skips the corpus-count action when the caller knows it."""
+    if n_docs is None:
+        n_docs = docs.count()
+    tc = term_counts(docs, doc_id, text_col)
+    dfreq = doc_freq(docs, doc_id, text_col)
+    scored = tc.join(dfreq, "token").select(
+        F.col(doc_id),
+        "token",
+        "tf",
+        (F.col("tf") * F.expr(f"({n_docs} * {IDF_SCALE}) div df")).alias("score"),
+    )
+    w = Window.partitionBy(doc_id).orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(doc_id, "token", "tf", "score", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """(doc_id, score): top-k documents for a query string, integer-BM25.
+
+    Per (doc, query-term): tf_norm = (4000·tf·S) div (4·tf·S + S + 3·dl·N)
+    — BM25's length normalization with k1=1 and b=3/4 cleared to one
+    integer fraction (S = corpus token count, N = doc count, dl = doc
+    length; b=3/4 ⇒ (1-b)+b·dl/avgdl = (S + 3·dl·N)/(4·S) with
+    avgdl = S/N). Doc score = Σ idf_scaled · tf_norm over query terms,
+    idf_scaled = N·1000 div df. Query terms prune the term table with an
+    IN-list BEFORE the joins (pushed to the scan). Top-k is
+    orderBy+limit → TakeOrdered, a bounded per-partition merge."""
+    terms = sorted({t for t in query.split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    n, s = stats if stats is not None else corpus_stats(docs, doc_id, text_col)
+    tc = term_counts(docs, doc_id, text_col).filter(F.col("token").isin(terms))
+    dfreq = doc_freq(docs, doc_id, text_col).filter(F.col("token").isin(terms))
+    dl = doc_lengths(docs, doc_id, text_col)
+    scored = (
+        tc.join(F.broadcast(dfreq), "token")
+        .join(dl, doc_id)
+        .select(
+            F.col(doc_id),
+            (
+                F.expr(f"({n} * {IDF_SCALE}) div df")
+                * F.expr(f"({BM25_SCALE} * tf * {s}) div (4 * tf * {s} + {s} + 3 * dl * {n})")
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy(doc_id)
+        .agg(F.sum("term_score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(doc_id).asc())
+        .limit(k)
+    )

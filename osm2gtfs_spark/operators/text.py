@@ -179,3 +179,60 @@ def pii_scrub(
         F.regexp_count(emails_redacted, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         F.regexp_replace(emails_redacted, IPV4_RE, "<IP>").alias("text_clean"),
     )
+
+
+# --- URL normalization (web-scale corpus dedup/provenance) -----------------
+# Regexes restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs — so the oracle reproduces the
+# chain verbatim.
+_TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*&?"
+
+
+def url_canonicalize(url_col) -> Column:
+    """Dedup-canonical URL form (pure codegen regexp chain):
+    lowercase, scheme dropped, leading 'www.' dropped, fragment dropped,
+    tracking query params (utm_*, fbclid, gclid, ref) dropped, dangling
+    '?'/'&' separators cleaned, trailing '/' trimmed.
+
+    This is the CORPUS-DEDUP normal form (two URLs that canonicalize
+    equal almost surely serve the same document), not a navigable URL —
+    the scheme is intentionally discarded like web-crawl dedup keys do."""
+    u = F.lower(url_col)
+    u = F.regexp_replace(u, r"#.*$", "")               # fragment
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")  # scheme
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")    # tracking params
+    u = F.regexp_replace(u, r"[?&]+$", "")             # dangling separators
+    u = F.regexp_replace(u, r"\?&", "?")               # '?&x=1' → '?x=1'
+    u = F.regexp_replace(u, r"/\?", "?")               # '/path/?q' → '/path?q'
+    return F.regexp_replace(u, r"/$", "")              # trailing slash
+
+
+def url_host(url_col) -> Column:
+    """Registrable host key: lowercase, scheme/'www.' stripped, port and
+    path/query/fragment dropped. Empty string when nothing host-like."""
+    u = F.lower(url_col)
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    host = F.regexp_extract(u, r"^([^/?#]+)", 1)
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def url_host_filter(
+    docs: DataFrame,
+    url_col: str = "url",
+    blocked_hosts: list[str] | None = None,
+    blocked_suffixes: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows whose URL host is not blocklisted (exact host match or
+    domain-suffix match). The blocklist is a driver-side constant —
+    broadcast as literals; at real scale swap in a blocklist TABLE and
+    a broadcast left_anti join, same plan shape as the stopword caps."""
+    host = url_host(F.col(url_col))
+    keep = F.lit(True)
+    for h in blocked_hosts or []:
+        keep = keep & (host != h.lower())
+    for suf in blocked_suffixes or []:
+        s = suf.lower().lstrip(".")
+        keep = keep & ~host.endswith("." + s) & (host != s)
+    return docs.filter(keep)

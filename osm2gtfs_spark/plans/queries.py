@@ -1704,3 +1704,180 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(q, corpus, cents, k=5, nprobe=3).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+_TOK_CTE = """
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+                 FROM documents),
+     tc AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+     dfq AS (SELECT token, COUNT(*) AS df FROM tc GROUP BY token)
+"""
+
+
+@register(
+    "inverted_index",
+    _TOK_CTE
+    + """
+    , keep AS (SELECT token FROM dfq WHERE df <= 400)
+    SELECT t.token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           md5(string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id)) AS postings_md5
+    FROM tc t JOIN keep k USING (token)
+    GROUP BY t.token
+    """,
+)
+def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with the max_df stopword cap (operators/
+    corpus_index.inverted_index): sorted posting lists per surviving
+    token; the oracle fingerprints each list as an md5 over the ordered
+    doc:tf pairs, so list content AND order are hash-enforced."""
+    from osm2gtfs_spark.operators import corpus_index as CI
+
+    d = tpch.load(spark, sf_dir, "documents")
+    idx = CI.inverted_index(d, max_df=400)
+    return idx.select(
+        "token",
+        "df",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "postings",
+                    lambda p: F.concat(
+                        p["doc_id"].cast("string"), F.lit(":"), p["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("postings_md5"),
+    )
+
+
+@register(
+    "tfidf_topk",
+    _TOK_CTE
+    + """
+    , n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, score, rank FROM (
+      SELECT t.doc_id, t.token, CAST(t.tf AS BIGINT) AS tf,
+             CAST(t.tf * ((n.n_docs * 1000) // d.df) AS BIGINT) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ((n.n_docs * 1000) // d.df) DESC, t.token ASC
+             ) AS rank
+      FROM tc t JOIN dfq d USING (token) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by the integer tf·idf dialect
+    (corpus_index.tfidf_topk); ties break on token asc, so the ranking
+    is fully deterministic and hash-comparable."""
+    from osm2gtfs_spark.operators import corpus_index as CI
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return CI.tfidf_topk(d, k=3).select(
+        "doc_id", "token", F.col("tf").cast("long").alias("tf"), "score",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "bm25_topk",
+    _TOK_CTE
+    + """
+    , stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(LEN(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS s
+                FROM documents),
+     dl AS (SELECT doc_id,
+                   CAST(LEN(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
+            FROM documents)
+    SELECT doc_id, score FROM (
+      SELECT t.doc_id,
+             CAST(SUM(((st.n * 1000) // d.df)
+                      * ((4000 * t.tf * st.s) // (4 * t.tf * st.s + st.s + 3 * l.dl * st.n))) AS BIGINT) AS score
+      FROM tc t
+      JOIN dfq d USING (token)
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN stats st
+      WHERE t.token IN ('spark', 'join', 'window')
+      GROUP BY t.doc_id
+    ) ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-BM25 retrieval (corpus_index.bm25_topk) for a fixed
+    3-term query; scoring dialect documented in the operator module —
+    k1=1, b=3/4 cleared to exact integer arithmetic so the oracle is
+    bit-stable across engines."""
+    from osm2gtfs_spark.operators import corpus_index as CI
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return CI.bm25_topk(d, "spark join window", k=10)
+
+
+@register(
+    "url_canonical_filter",
+    r"""
+    -- deterministic URL synthesis over documents: mixed tracking
+    -- params, fragments, ports, trailing slashes; every 5th doc gets a
+    -- blocklisted host. The oracle reproduces the exact regexp chain
+    -- (patterns restricted to Java-regex ∩ RE2 syntax).
+    WITH u AS (SELECT doc_id,
+      'HTTPS://www.' ||
+      CASE WHEN doc_id % 5 = 0 THEN 'spam.bad.example'
+           ELSE source || '.example.com' END ||
+      CASE doc_id % 4
+        WHEN 0 THEN '/page/' || doc_id || '/?utm_source=x&utm_medium=y&id=' || doc_id || '#frag'
+        WHEN 1 THEN ':8080/a/b?ref=abc'
+        WHEN 2 THEN '/'
+        ELSE '/path?id=' || doc_id || '&utm_campaign=z' END AS url
+      FROM documents),
+    c AS (SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+        '#.*$', '', 'g'),
+        '^[a-z][a-z0-9+.-]*://', '', 'g'),
+        '^www\.', '', 'g'),
+        '(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+        '[?&]+$', '', 'g'),
+        '\?&', '?', 'g'),
+        '/\?', '?', 'g'),
+        '/$', '', 'g') AS url_canon,
+      regexp_replace(regexp_extract(regexp_replace(regexp_replace(lower(url),
+        '^[a-z][a-z0-9+.-]*://', '', 'g'), '^www\.', '', 'g'),
+        '^([^/?#]+)', 1), ':[0-9]+$', '', 'g') AS host
+      FROM u)
+    SELECT doc_id, url_canon, host FROM c
+    WHERE NOT (host LIKE '%.bad.example' OR host = 'bad.example')
+    """,
+)
+def url_canonical_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host blocklist (operators/text.py
+    url_canonicalize / url_host / url_host_filter): the web-corpus
+    provenance/dedup normal form, pure codegen regexp chain."""
+    from osm2gtfs_spark.operators import text as TXT
+
+    d = tpch.load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://www."),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("spam.bad.example")).otherwise(
+                F.concat(F.col("source"), F.lit(".example.com"))
+            ),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("/page/"), did, F.lit("/?utm_source=x&utm_medium=y&id="), did, F.lit("#frag")),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit(":8080/a/b?ref=abc"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("/"))
+            .otherwise(F.concat(F.lit("/path?id="), did, F.lit("&utm_campaign=z"))),
+        ).alias("url"),
+    )
+    kept = TXT.url_host_filter(synth, "url", blocked_suffixes=["bad.example"])
+    return kept.select(
+        "doc_id",
+        TXT.url_canonicalize(F.col("url")).alias("url_canon"),
+        TXT.url_host(F.col("url")).alias("host"),
+    )

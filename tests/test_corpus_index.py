@@ -1,0 +1,95 @@
+"""Corpus indexing/retrieval + URL normalization unit tests.
+
+The DuckDB gate (inverted_index / tfidf_topk / bm25_topk /
+url_canonical_filter) enforces cross-engine value parity; these cover
+behaviors the oracle can't express — ranking sanity, cap semantics,
+URL edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2gtfs_spark.operators import corpus_index as CI
+from osm2gtfs_spark.operators import text as TXT
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark join window spark spark"),
+        (2, "join window table table"),
+        (3, "the the the the filler words only"),
+        (4, "spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_inverted_index_postings_and_cap(corpus):
+    idx = {r.token: r for r in CI.inverted_index(corpus).collect()}
+    assert [p["doc_id"] for p in idx["spark"].postings] == [1, 4]
+    assert [p["tf"] for p in idx["spark"].postings] == [3, 1]
+    assert idx["spark"].df == 2
+    capped = {r.token for r in CI.inverted_index(corpus, max_df=1).collect()}
+    assert "spark" not in capped and "filler" in capped
+
+
+def test_bm25_ranks_term_dense_doc_first(corpus):
+    got = CI.bm25_topk(corpus, "spark join window", k=4).collect()
+    assert got[0].doc_id == 1  # all three terms, spark x3
+    assert {r.doc_id for r in got} == {1, 2, 4}  # doc 3 has no query term
+    assert all(a.score >= b.score for a, b in zip(got, got[1:]))
+
+
+def test_bm25_empty_query_raises(corpus):
+    with pytest.raises(ValueError, match="empty query"):
+        CI.bm25_topk(corpus, "   ")
+
+
+def test_tfidf_prefers_rare_terms(corpus):
+    top = {
+        r.doc_id: r.token
+        for r in CI.tfidf_topk(corpus, k=1).collect()
+    }
+    # doc 1: 'spark' (tf 3) beats the shared singletons
+    assert top[1] == "spark"
+    # doc 3: a rare term beats the repeated stopword-ish 'the' only if
+    # idf wins; 'the' has tf 4 but df 1 here too (only doc 3 uses it),
+    # so 'the' legitimately wins — assert determinism instead
+    again = {r.doc_id: r.token for r in CI.tfidf_topk(corpus, k=1).collect()}
+    assert top == again
+
+
+def test_url_canonicalize_edges(spark):
+    rows = [
+        (1, "HTTPS://WWW.Example.COM/Path/?utm_source=a&id=2#x"),
+        (2, "http://example.com:8080/a/"),
+        (3, "example.com/b?ref=z&q=1"),        # no scheme
+        (4, "ftp://files.example.org/x"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r.i: (r.c, r.h)
+        for r in df.select(
+            "i",
+            TXT.url_canonicalize(F.col("url")).alias("c"),
+            TXT.url_host(F.col("url")).alias("h"),
+        ).collect()
+    }
+    assert got[1] == ("example.com/path?id=2", "example.com")
+    assert got[2] == ("example.com:8080/a", "example.com")
+    assert got[3] == ("example.com/b?q=1", "example.com")
+    assert got[4] == ("files.example.org/x", "files.example.org")
+    assert got[5] == ("", "")
+
+
+def test_url_host_filter_suffix_and_exact(spark):
+    rows = [(1, "https://a.bad.example/x"), (2, "https://bad.example/y"),
+            (3, "https://good.example/z"), (4, "https://notbad.example/w")]
+    df = spark.createDataFrame(rows, "i long, url string")
+    kept = {r.i for r in TXT.url_host_filter(df, blocked_suffixes=["bad.example"]).collect()}
+    assert kept == {3, 4}  # suffix match needs a dot boundary
+    kept2 = {r.i for r in TXT.url_host_filter(df, blocked_hosts=["good.example"]).collect()}
+    assert kept2 == {1, 2, 4}
