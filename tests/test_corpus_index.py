@@ -93,3 +93,42 @@ def test_url_host_filter_suffix_and_exact(spark):
     assert kept == {3, 4}  # suffix match needs a dot boundary
     kept2 = {r.i for r in TXT.url_host_filter(df, blocked_hosts=["good.example"]).collect()}
     assert kept2 == {1, 2, 4}
+
+
+def test_url_canonicalize_idempotent(spark):
+    """Canonicalization is a normal form: applying it twice must be a
+    no-op (single Spark job over a pile of adversarial URLs)."""
+    urls = [
+        "HTTPS://WWW.Example.COM/Path/?utm_source=a&id=2#x",
+        "http://a.b:80/p/?utm_a=1&utm_b=2&ref=z",
+        "www.x.y/?#", "x.y/a//b/", "http://h/?&", "h/?utm_x=",
+        "ftp://F.G/Q?gclid=1&a=2#frag", "", "just-text", "a/b/?c=d&utm_e=f",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    from osm2gtfs_spark.operators.text import url_canonicalize
+
+    out = df.select(
+        "i",
+        url_canonicalize(F.col("url")).alias("once"),
+        url_canonicalize(url_canonicalize(F.col("url"))).alias("twice"),
+    )
+    bad = out.filter(F.col("once") != F.col("twice")).collect()
+    assert not bad, bad
+
+
+def test_minhash_fold_matches_per_column_family(spark):
+    """minhash_signature_md5_fold is bit-identical to the k-column
+    formulation on adversarial texts (empty, 1 token, repeats)."""
+    from osm2gtfs_spark.operators import dedup as DD
+
+    texts = ["", "one", "a a a a", "x y z w v u t s r q", "a b", "  "]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    sh = DD.shingles(F.col("text"))
+    old = df.select("i", *DD.minhash_signature(sh, 8))
+    new = df.select("i", DD.minhash_signature_md5_fold(sh, 8).alias("sig"))
+    j = old.join(new, "i")
+    bad = j.filter(
+        F.concat_ws("|", *[F.col(f"mh{k}") for k in range(8)])
+        != F.concat_ws("|", *[F.col("sig")[k] for k in range(8)])
+    ).collect()
+    assert not bad, bad
