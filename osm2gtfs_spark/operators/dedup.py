@@ -398,3 +398,114 @@ def apply_keepers(
     away. Docs that appear in no component pass through untouched."""
     losers = components.filter(F.col(doc_id) != F.col("component_id")).select(doc_id)
     return docs.join(losers, doc_id, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicated-span) scrubbing — the token-level dedup
+# that document-level near-dup misses (boilerplate paragraphs shared by
+# otherwise-distinct documents, self-repeats inside one document).
+# ---------------------------------------------------------------------------
+
+def positioned_shingle_hashes(
+    docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """(doc_id, pos, h): md5 of the n-token window starting at each
+    0-based token position (docs shorter than n tokens emit nothing).
+
+    md5 (not xxhash64) so the DuckDB oracle reproduces the hashes
+    bit-identically; at pure production scale swap in xxhash64 — the
+    plan shape is identical."""
+    toks = F.split(F.col(text_col), " ", -1)
+    starts = F.sequence(F.lit(0), F.size(toks) - n)
+    return (
+        docs.filter(F.size(toks) >= n)
+        .select(
+            F.col(doc_id),
+            F.explode(starts).alias("pos"),
+            toks.alias("_toks"),
+        )
+        .select(
+            doc_id,
+            "pos",
+            F.md5(F.concat_ws(" ", F.slice("_toks", F.col("pos") + 1, n))).alias("h"),
+        )
+    )
+
+
+def duplicated_span_scrub(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Remove every token covered by a duplicated n-token window
+    (corpus-wide occurrences ≥ min_occurrences, INCLUDING self-repeats
+    within one document) — the Spark-shaped analog of exact-substring
+    training-data dedup at token-n-gram granularity.
+
+    Returns one row per input doc:
+    (doc_id, n_removed, n_spans, text_clean) where n_spans counts the
+    maximal merged duplicated spans and text_clean is the surviving
+    tokens joined by ' '.
+
+    Scale shape: position-explode → md5 window hash (codegen) →
+    groupBy(h) count (map-side combine: the shuffle carries one row per
+    DISTINCT window, not per occurrence) → equi join back on h →
+    covered-position fanout bounded by n → per-doc sorted aggregation.
+    Two shuffles (window hash, doc id); no window function over the
+    corpus — span merging happens inside a per-doc sorted array fold."""
+    sh = positioned_shingle_hashes(docs, doc_id, text_col, n)
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("h")
+    )
+    covered = (
+        sh.join(dup_h, "h")
+        .select(F.col(doc_id), F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tpos"))
+        .distinct()
+    )
+    # per-doc sorted covered positions → removed count + merged-span
+    # count (a new span wherever the position jumps by more than 1) —
+    # computed by a fold over the sorted array, no corpus-wide window
+    cov_agg = covered.groupBy(doc_id).agg(
+        F.sort_array(F.collect_list("tpos")).alias("cps")
+    )
+    spans = F.aggregate(
+        F.zip_with(
+            "cps",
+            F.concat(F.array(F.lit(-2)), F.expr("slice(cps, 1, size(cps) - 1)")),
+            lambda cur, prev: F.when(cur - prev > 1, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    toks = F.split(F.col(text_col), " ", -1)
+    return (
+        docs.select(F.col(doc_id), toks.alias("_toks"))
+        .join(cov_agg, doc_id, "left")
+        .select(
+            doc_id,
+            # NB: F.size(NULL) is -1 under ANSI-off (legacy sizeOfNull),
+            # so the no-duplicates case needs an explicit isNull branch
+            F.when(F.col("cps").isNull(), F.lit(0))
+            .otherwise(F.size("cps"))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(spans, F.lit(0)).cast("long").alias("n_spans"),
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        "_toks",
+                        lambda t, i: F.when(
+                            F.coalesce(F.array_contains("cps", i), F.lit(False)), None
+                        ).otherwise(t),
+                    ),
+                    lambda t: t.isNotNull(),
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )

@@ -1881,3 +1881,68 @@ def url_canonical_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.url_canonicalize(F.col("url")).alias("url_canon"),
         TXT.url_host(F.col("url")).alias("host"),
     )
+
+
+_BOILER = "b1 b2 b3 b4 b5 b6 b7 b8"
+
+
+@register(
+    "dup_span_scrub",
+    f"""
+    -- exact-substring dedup over a seeded corpus: every 4th doc gets a
+    -- shared 8-token boilerplate tail (cross-doc duplicate), every 7th
+    -- a doubled tail (self-repeat); the operator must remove exactly
+    -- the covered token spans.
+    WITH base AS (SELECT doc_id,
+        text || (CASE WHEN doc_id % 4 = 0 THEN ' {_BOILER}' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ' {_BOILER} {_BOILER}' ELSE '' END) AS text
+      FROM documents),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+    sh AS (SELECT tk.doc_id, u.i - 1 AS pos,
+                  md5(array_to_string(list_slice(tk.toks, u.i, u.i + 7), ' ')) AS h
+           FROM tok tk, UNNEST(range(1, LEN(tk.toks) - 6)) AS u(i)),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT s.doc_id, s.pos + o.o AS tpos
+            FROM sh s JOIN dup USING (h), UNNEST(range(0, 8)) AS o(o)),
+    c2 AS (SELECT doc_id, tpos,
+                  LAG(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS pt
+           FROM cov),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed,
+                   CAST(SUM(CASE WHEN pt IS NULL OR tpos - pt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+            FROM c2 GROUP BY doc_id),
+    posed AS (SELECT tk.doc_id, u.i AS ti, tk.toks[u.i] AS w
+              FROM tok tk, UNNEST(range(1, LEN(tk.toks) + 1)) AS u(i)),
+    kept AS (SELECT p.doc_id, p.ti, p.w
+             FROM posed p
+             LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.tpos = p.ti - 1
+             WHERE c.tpos IS NULL),
+    clean AS (SELECT doc_id, string_agg(w, ' ' ORDER BY ti) AS text_clean
+              FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           md5(COALESCE(cl.text_clean, '')) AS clean_md5
+    FROM base b
+    LEFT JOIN agg a ON b.doc_id = a.doc_id
+    LEFT JOIN clean cl ON b.doc_id = cl.doc_id
+    """,
+)
+def dup_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (duplicated 8-token span) scrubbing
+    (operators/dedup.duplicated_span_scrub): cross-doc boilerplate AND
+    within-doc self-repeats are removed at token-span granularity —
+    the dedup document-level near-dup can't do."""
+    d = tpch.load(spark, sf_dir, "documents")
+    b = F.lit(_BOILER)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(" "), b)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" "), b, F.lit(" "), b)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = DD.duplicated_span_scrub(synth, n=8, min_occurrences=2)
+    return out.select(
+        "doc_id", "n_removed", "n_spans", F.md5("text_clean").alias("clean_md5")
+    )

@@ -132,3 +132,26 @@ def test_minhash_fold_matches_per_column_family(spark):
         != F.concat_ws("|", *[F.col("sig")[k] for k in range(8)])
     ).collect()
     assert not bad, bad
+
+
+def test_duplicated_span_scrub_semantics(spark):
+    """Exact-substring scrub: cross-doc boilerplate removed from both
+    carriers, a doubled block inside one doc fully self-dedups, short
+    docs untouched."""
+    from osm2gtfs_spark.operators.dedup import duplicated_span_scrub
+
+    B = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, "u1 u2 u3 " + B),        # boilerplate tail
+        (2, "v1 v2 " + B),           # same tail, different prefix
+        (3, B + " " + B),            # self-repeat, fully covered
+        (4, "short doc only"),       # < 8 tokens
+        (5, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),  # unique 9 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_span_scrub(df, n=8).collect()}
+    assert (got[1].n_removed, got[1].n_spans, got[1].text_clean) == (8, 1, "u1 u2 u3")
+    assert (got[2].n_removed, got[2].n_spans, got[2].text_clean) == (8, 1, "v1 v2")
+    assert (got[3].n_removed, got[3].n_spans, got[3].text_clean) == (16, 1, "")
+    assert (got[4].n_removed, got[4].text_clean) == (0, "short doc only")
+    assert (got[5].n_removed, got[5].text_clean) == (0, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
