@@ -125,29 +125,38 @@ def _hot_bucket_keys_checked(
     if the cap would eliminate EVERY non-empty bucket the candidate join
     degenerates to an empty result — a wrong-shaped answer, not an
     approximation — so fail loudly with the fix in the message. A
-    mostly-hot table (>50 %) logs a warning. Costs one tiny aggregate
-    action over the already-grouped bucket counts (≤ #non-empty buckets
-    rows in, 1 row out)."""
-    counts = sizing.groupBy("table", "bucket").count()
-    stats = counts.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum((F.col("count") > max_bucket).cast("long")).alias("hot"),
-    ).first()
-    total, hot = stats["total"], stats["hot"] or 0
-    if total > 0 and hot == total:
-        raise ValueError(
-            f"{op}: max_bucket={max_bucket} eliminates all {total} LSH buckets "
-            f"(n_planes={n_planes} is too coarse for this corpus). Pass "
-            f"n_planes=None to auto-size buckets to the corpus, or raise "
-            f"max_bucket."
-        )
-    if total > 0 and hot * 2 > total:
-        log.warning(
-            "%s: %d/%d LSH buckets exceed max_bucket=%d and will be dropped; "
-            "recall may suffer — consider n_planes=None (auto-sizing)",
-            op, hot, total, max_bucket,
-        )
-    return counts.filter(F.col("count") > max_bucket)
+    mostly-hot table (>50 %) logs a warning.
+
+    ONE materialization of the bucket-count aggregate serves both the
+    guard stats and the hot-key list: counts persist for the stats
+    action, the hot keys (≤ N/max_bucket rows — bounded metadata by
+    construction) are collected to the driver, the cache is released
+    immediately, and the anti-join side gets a literal DataFrame — no
+    second pass over the bucket table at any scale."""
+    counts = sizing.groupBy("table", "bucket").count().persist()
+    try:
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("count") > max_bucket).cast("long")).alias("hot"),
+        ).first()
+        total, hot = stats["total"], stats["hot"] or 0
+        if total > 0 and hot == total:
+            raise ValueError(
+                f"{op}: max_bucket={max_bucket} eliminates all {total} LSH buckets "
+                f"(n_planes={n_planes} is too coarse for this corpus). Pass "
+                f"n_planes=None to auto-size buckets to the corpus, or raise "
+                f"max_bucket."
+            )
+        if total > 0 and hot * 2 > total:
+            log.warning(
+                "%s: %d/%d LSH buckets exceed max_bucket=%d and will be dropped; "
+                "recall may suffer — consider n_planes=None (auto-sizing)",
+                op, hot, total, max_bucket,
+            )
+        hot_rows = [(r["table"], r["bucket"]) for r in counts.filter(F.col("count") > max_bucket).collect()]
+    finally:
+        counts.unpersist()
+    return sizing.sparkSession.createDataFrame(hot_rows, "table int, bucket long")
 
 
 def _cap_hot_buckets(buckets: DataFrame, hot: DataFrame) -> DataFrame:

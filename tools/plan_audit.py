@@ -38,6 +38,12 @@ AUDIT = [
     "decontaminate",
     "media_decode_meta_real",
     "embedding_near_dup",
+    # round-4 additions
+    "inverted_index",
+    "tfidf_topk",
+    "bm25_topk",
+    "url_canonical_filter",
+    "dup_span_scrub",
     "quality_filter_composite",
     "dedup_keeper_corpus",
     "embedding_quantize",
