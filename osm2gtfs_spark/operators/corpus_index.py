@@ -189,3 +189,62 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(doc_id).asc())
         .limit(k)
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 32,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: the token streams of
+    deterministically-ordered documents are concatenated and cut every
+    ``budget`` tokens; documents may straddle chunk boundaries (the
+    standard pretraining packing rule, not bin packing).
+
+    Output: one row per (document × chunk it overlaps):
+    (doc_id, bucket, chunk_id, doc_tok_start, doc_tok_end,
+    chunk_tok_start) — tokens [doc_tok_start, doc_tok_end) of the doc
+    occupy chunk ``chunk_id`` starting at offset ``chunk_tok_start``.
+
+    Scale shape: the running-offset window is partitioned by a hash
+    BUCKET (chunks never span buckets), so no global single-partition
+    window exists; each bucket packs independently and in parallel —
+    the packing is deterministic for a fixed (n_buckets, budget).
+    Straddle fanout is bounded: a doc overlaps ≤ dl/budget + 1 chunks.
+    Bucketing here is ``doc_id % n_buckets`` for oracle exactness; at
+    production scale use xxhash64 for data-independent balance — same
+    plan."""
+    dl = doc_lengths(docs, doc_id, text_col).filter(F.col("dl") > 0)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(doc_id)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        dl.withColumn("bucket", (F.col(doc_id) % n_buckets).cast("int"))
+        .withColumn("start", F.coalesce(F.sum("dl").over(w), F.lit(0)))
+        .withColumn("end", F.col("start") + F.col("dl"))
+    )
+    seg = placed.select(
+        F.col(doc_id),
+        "bucket",
+        "start",
+        "end",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {budget}"), F.expr(f"(end - 1) div {budget}")
+            )
+        ).alias("chunk_id"),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("chunk_id") * budget)
+    seg_end = F.least(F.col("end"), (F.col("chunk_id") + 1) * budget)
+    return seg.select(
+        doc_id,
+        "bucket",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        (seg_start - F.col("start")).cast("long").alias("doc_tok_start"),
+        (seg_end - F.col("start")).cast("long").alias("doc_tok_end"),
+        (seg_start - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
+    )

@@ -1946,3 +1946,37 @@ def dup_span_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_removed", "n_spans", F.md5("text_clean").alias("clean_md5")
     )
+
+
+@register(
+    "pack_sequences",
+    """
+    -- GPT-style concat-and-chunk packing at budget=64 tokens, 8 hash
+    -- buckets: docs straddle chunk boundaries by design; the oracle
+    -- replays the same bucket-local running-offset arithmetic.
+    WITH dl AS (SELECT doc_id,
+                       CAST(LEN(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
+                FROM documents),
+    nz AS (SELECT doc_id, dl, CAST(doc_id % 8 AS INT) AS bucket FROM dl WHERE dl > 0),
+    placed AS (SELECT doc_id, bucket, dl,
+                      COALESCE(SUM(dl) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+               FROM nz),
+    seg AS (SELECT doc_id, bucket, s, s + dl AS e,
+                   UNNEST(range(CAST(s // 64 AS BIGINT), CAST((s + dl - 1) // 64 + 1 AS BIGINT))) AS chunk_id
+            FROM placed)
+    SELECT doc_id, bucket, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(s, chunk_id * 64) - s AS BIGINT) AS doc_tok_start,
+           CAST(LEAST(e, (chunk_id + 1) * 64) - s AS BIGINT) AS doc_tok_end,
+           CAST(GREATEST(s, chunk_id * 64) - chunk_id * 64 AS BIGINT) AS chunk_tok_start
+    FROM seg
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (corpus_index.pack_sequences): bucket-local
+    running offsets (no global window), bounded straddle fanout; every
+    (doc × overlapped chunk) segment is value-checked by the oracle."""
+    from osm2gtfs_spark.operators import corpus_index as CI
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return CI.pack_sequences(d, budget=64, n_buckets=8)

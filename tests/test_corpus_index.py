@@ -155,3 +155,37 @@ def test_duplicated_span_scrub_semantics(spark):
     assert (got[3].n_removed, got[3].n_spans, got[3].text_clean) == (16, 1, "")
     assert (got[4].n_removed, got[4].text_clean) == (0, "short doc only")
     assert (got[5].n_removed, got[5].text_clean) == (0, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: full token coverage, contiguous per-doc
+    segments, chunk offsets within budget, chunks fully packed except
+    each bucket's last."""
+    from osm2gtfs_spark.operators.corpus_index import pack_sequences
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(5 + (i * 7) % 23))) for i in range(40)]
+    rows.append((99, ""))  # empty doc: no output rows
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    segs = pack_sequences(df, budget=16, n_buckets=4).collect()
+    assert all(r.doc_id != 99 for r in segs)
+    # coverage: per doc, segments tile [0, dl) without gaps or overlaps
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in rows[:-1]:
+        dl = len(text.split())
+        parts = sorted(by_doc[i], key=lambda r: r.doc_tok_start)
+        assert parts[0].doc_tok_start == 0 and parts[-1].doc_tok_end == dl
+        for a, b in zip(parts, parts[1:]):
+            assert a.doc_tok_end == b.doc_tok_start
+            assert b.chunk_id == a.chunk_id + 1  # straddles are adjacent chunks
+    # offsets within budget; every chunk except the bucket's last is full
+    fill: dict[tuple, int] = {}
+    for r in segs:
+        assert 0 <= r.chunk_tok_start < 16
+        fill[(r.bucket, r.chunk_id)] = fill.get((r.bucket, r.chunk_id), 0) + (
+            r.doc_tok_end - r.doc_tok_start
+        )
+    for (bucket, chunk), tokens in fill.items():
+        last = max(c for b, c in fill if b == bucket)
+        assert tokens == 16 or chunk == last, (bucket, chunk, tokens)
