@@ -348,6 +348,41 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component_id"))
 
 
+def token_set_dup_pairs(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash-banded candidates → exact token-set-equal pairs (a<b).
+
+    The cheap fingerprint index (4 bands of 16 bits of the simhash)
+    generates candidates — only band collisions shuffle, never all
+    pairs — and the exact verifier (distinct-token-set equality) joins
+    token arrays onto candidate ids only, so they never ride through
+    the band shuffle."""
+    sh = docs.select(F.col(doc_id), simhash64(F.col(text_col)).alias("simhash"))
+    bands = sh.select(
+        doc_id,
+        F.posexplode(
+            F.array(*[(F.shiftrightunsigned("simhash", i * 16) % F.lit(65536)).cast("long") for i in range(4)])
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(F.col(doc_id).alias("doc_a"), "band_idx", "band_val")
+    b = bands.select(F.col(doc_id).alias("doc_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ts = docs.select(
+        F.col(doc_id),
+        F.array_sort(F.array_distinct(F.split(F.col(text_col), " ", -1))).alias("ts"),
+    )
+    return (
+        cand.join(ts.select(F.col(doc_id).alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
+        .join(ts.select(F.col(doc_id).alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
+        .filter(F.col("ts_a") == F.col("ts_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

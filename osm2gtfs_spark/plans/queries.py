@@ -619,35 +619,8 @@ _TSE_PAIRS_SQL = """
 
 
 def _token_set_dup_pairs(docs: DataFrame) -> DataFrame:
-    """SimHash-banded candidates → exact token-set-equal pairs (a<b)."""
-    sh = docs.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
-    bands = sh.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[(F.shiftrightunsigned("simhash", i * 16) % F.lit(65536)).cast("long") for i in range(4)])
-        ).alias("band_idx", "band_val"),
-    )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_val")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_val")
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    # verify stage: exact distinct-token-set equality, joined onto the
-    # candidate ids only (token arrays never ride through the band
-    # shuffle — same shape as the minhash→jaccard verifier)
-    ts = docs.select(
-        "doc_id",
-        F.array_sort(F.array_distinct(F.split(F.col("text"), " ", -1))).alias("ts"),
-    )
-    return (
-        cand.join(ts.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a")), "doc_a")
-        .join(ts.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b")), "doc_b")
-        .filter(F.col("ts_a") == F.col("ts_b"))
-        .select("doc_a", "doc_b")
-    )
+    """Delegates to the public operator (moved to operators/dedup.py)."""
+    return DD.token_set_dup_pairs(docs)
 
 
 @register(
@@ -1980,3 +1953,76 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tpch.load(spark, sf_dir, "documents")
     return CI.pack_sequences(d, budget=64, n_buckets=8)
+
+
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "corpus_prep_pipeline",
+    f"""
+    -- END-TO-END corpus preparation: quality filter -> token-set
+    -- near-dup keeper (recursive-CTE transitive closure) -> benchmark
+    -- decontamination (eval = doc_id < 20; >=5 shared distinct 3-grams
+    -- drops the doc, so verbatim eval members self-evict) -> PII scrub.
+    -- The whole chain is value-checked as ONE query.
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id,
+                 UNNEST(list_transform(range(1, GREATEST(LEN(t) - 1, 1) + 1),
+                                       i -> concat_ws(' ', t[i], t[i + 1]))) AS g
+          FROM toks),
+    c AS (SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    rep AS (SELECT doc_id, CAST(FLOOR(MAX(n) * 1000.0 / SUM(n)) AS BIGINT) AS rep_permille
+            FROM c GROUP BY doc_id),
+    tk AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS n_tok,
+                  CAST(FLOOR((chars - (LEN(t) - 1)) * 100.0 / LEN(t)) AS BIGINT) AS mwl_x100
+           FROM toks),
+    keepq AS (SELECT tk.doc_id FROM tk JOIN rep USING (doc_id)
+              WHERE tk.n_tok BETWEEN 30 AND 80 AND rep.rep_permille < 300
+                AND tk.mwl_x100 BETWEEN 250 AND 700),
+    s AS (SELECT d.doc_id, list_sort(list_distinct(string_split(d.text, ' '))) AS ts
+          FROM documents d JOIN keepq USING (doc_id)),
+    e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM s a JOIN s b ON a.ts = b.ts AND a.doc_id <> b.doc_id),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+             FROM reach GROUP BY src),
+    dedup AS (SELECT d.doc_id, d.text FROM documents d JOIN keepq USING (doc_id)
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)),
+    b AS (SELECT doc_id AS bid, UNNEST({DD.shingles_sql('text', 3)}) AS sh
+          FROM documents WHERE doc_id < 20),
+    keepable AS (SELECT sh FROM b GROUP BY sh HAVING COUNT(DISTINCT bid) <= 15),
+    bs AS (SELECT DISTINCT b.sh FROM b JOIN keepable kk ON b.sh = kk.sh),
+    cs AS (SELECT dd.doc_id, UNNEST({DD.shingles_sql('dd.text', 3)}) AS sh FROM dedup dd),
+    cont AS (SELECT cs.doc_id FROM cs JOIN bs ON cs.sh = bs.sh
+             GROUP BY cs.doc_id HAVING COUNT(DISTINCT cs.sh) >= 5),
+    fin AS (SELECT doc_id, text FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+           CAST(LEN(regexp_extract_all(
+                 regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                 '{_IP_SQL}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                              '{_IP_SQL}', '<IP>', 'g')) AS clean_md5
+    FROM fin
+    """,
+)
+def corpus_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep composition (plans/corpus_prep
+    .prepare_corpus): quality -> dedup keepers -> decontamination ->
+    PII scrub, hash-checked END-TO-END against a single DuckDB replay
+    (recursive closure included) — composition bugs between
+    individually-green stages can't hide."""
+    from osm2gtfs_spark.plans.corpus_prep import prepare_corpus
+
+    d = tpch.load(spark, sf_dir, "documents").persist()
+    bench = d.filter(F.col("doc_id") < 20)
+    out = prepare_corpus(d, benchmark=bench, overlap_threshold=5)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", F.md5("text_clean").alias("clean_md5")
+    )

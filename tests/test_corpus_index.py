@@ -189,3 +189,32 @@ def test_pack_sequences_invariants(spark):
     for (bucket, chunk), tokens in fill.items():
         last = max(c for b, c in fill if b == bucket)
         assert tokens == 16 or chunk == last, (bucket, chunk, tokens)
+
+
+def test_prepare_corpus_stages(spark):
+    """End-to-end prep drops: low-quality docs, near-dup losers (keeper
+    = min doc_id), docs leaking eval-set n-grams (including verbatim
+    eval members), and scrubs PII from survivors."""
+    from osm2gtfs_spark.plans.corpus_prep import prepare_corpus
+
+    good = " ".join(f"alpha{i} bravo{i} delta{i}" for i in range(12))  # 36 tokens
+    eval_text = " ".join(f"echo{i} foxtr{i} golf{i}" for i in range(12))
+    rows = [
+        (1, eval_text),                      # the eval doc itself
+        (20, good),                          # clean keeper
+        (21, good + " tail21"),              # near-dup? token sets differ -> kept
+        (22, good),                          # exact token-set dup of 20 -> dropped
+        (23, "short text"),                  # quality: too few tokens
+        (24, eval_text + " overlapping paragraph from the eval set here x1 y2"),  # leaked
+        (25, " ".join(f"mike{i} novem{i} oscar{i}" for i in range(12)) + " mail bob@x.org 10.1.2.3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in prepare_corpus(docs, bench, overlap_threshold=5).collect()}
+    assert 20 in out and 21 in out and 25 in out
+    assert 22 not in out          # dup loser
+    assert 23 not in out          # quality reject
+    assert 1 not in out           # verbatim eval member self-evicts
+    assert 24 not in out          # eval leakage
+    assert out[25].n_emails == 1 and out[25].n_ips == 1
+    assert "<EMAIL>" in out[25].text_clean and "<IP>" in out[25].text_clean
