@@ -544,3 +544,83 @@ def duplicated_span_scrub(
             ).alias("text_clean"),
         )
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    band_size: int = 2,
+    jaccard_threshold_permille: int = 800,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Admit only NEW documents that are not near-dups of the EXISTING
+    corpus — the daily-increment production pattern (the full-corpus
+    re-clustering of :func:`connected_components` is for backfills;
+    an append only needs new×corpus checks, never corpus×corpus).
+
+    Shape: minhash bands on both sides, candidates = band-equi join of
+    the NEW side against the CORPUS side only (plus NEW×NEW so a batch
+    cannot admit two copies of the same text — first occurrence by min
+    doc_id wins), exact n-gram Jaccard verify on candidates only, then
+    anti-join the rejected ids. The corpus band table is the thing to
+    precompute/persist incrementally at scale — it never rescans old
+    text. ``max_bucket`` caps boilerplate buckets on the corpus side."""
+    nb = minhash_bands(doc_id, text_col, new_docs, k, band_size)
+    cb = minhash_bands(doc_id, text_col, corpus, k, band_size)
+    if max_bucket is not None:
+        hot = (
+            cb.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        nb = nb.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+        cb = cb.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    n_side = nb.select(F.col(doc_id).alias("new_id"), "band_idx", "band_hash")
+    cand_old = (
+        n_side.join(
+            cb.select(F.col(doc_id).alias("old_id"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    cand_self = (
+        n_side.join(
+            nb.select(F.col(doc_id).alias("old_id"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("old_id") < F.col("new_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    cand = cand_old.unionByName(cand_self).distinct()
+    new_sh = new_docs.select(
+        F.col(doc_id).alias("new_id"), shingles(F.col(text_col)).alias("sh_n")
+    )
+    old_sh = (
+        corpus.select(F.col(doc_id), shingles(F.col(text_col)).alias("sh_o"))
+        .unionByName(
+            new_docs.select(F.col(doc_id), shingles(F.col(text_col)).alias("sh_o"))
+        )
+        .withColumnRenamed(doc_id, "old_id")
+    )
+    rejected = (
+        cand.join(new_sh, "new_id")
+        .join(old_sh, "old_id")
+        .filter(
+            F.floor(
+                F.size(F.array_intersect("sh_n", "sh_o")) * 1000.0
+                / F.size(F.array_union("sh_n", "sh_o"))
+            )
+            >= jaccard_threshold_permille
+        )
+        .select("new_id")
+        .distinct()
+    )
+    return new_docs.join(
+        rejected.withColumnRenamed("new_id", doc_id), doc_id, "left_anti"
+    )

@@ -2026,3 +2026,55 @@ def corpus_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_emails", "n_ips", F.md5("text_clean").alias("clean_md5")
     )
+
+
+@register(
+    "incremental_dedup",
+    f"""
+    -- incremental admission: NEW batch = docs 400-499 plus planted
+    -- exact copies of corpus docs (old doc_id d<100, d%10=0, replanted
+    -- at d+10000); EXISTING corpus = docs 0-399. A new doc is rejected
+    -- when some band collision partner (corpus-side, or an earlier doc
+    -- of the same batch) verifies at 3-gram Jaccard >= 0.8.
+    WITH newd AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents
+        WHERE doc_id < 100 AND doc_id % 10 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    allx AS (SELECT 'new' AS side, doc_id, text FROM newd
+             UNION ALL SELECT 'old' AS side, doc_id, text FROM corpus),
+    s AS (SELECT side, doc_id, {DD.shingles_sql('text', 3)} AS sh FROM allx),
+    sig AS (SELECT side, doc_id, {', '.join(DD.minhash_signature_sql('sh', 8))} FROM s),
+    bands AS (SELECT side, doc_id, b.band_idx,
+              CASE b.band_idx WHEN 0 THEN md5(mh0 || '|' || mh1)
+                              WHEN 1 THEN md5(mh2 || '|' || mh3)
+                              WHEN 2 THEN md5(mh4 || '|' || mh5)
+                              ELSE md5(mh6 || '|' || mh7) END AS band_hash
+              FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+             FROM bands n JOIN bands o
+               ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+             WHERE n.side = 'new'
+               AND (o.side = 'old' OR (o.side = 'new' AND o.doc_id < n.doc_id))),
+    rej AS (SELECT DISTINCT c.new_id
+            FROM cand c
+            JOIN s x ON x.side = 'new' AND x.doc_id = c.new_id
+            JOIN s y ON y.doc_id = c.old_id AND (y.side = 'old' OR y.doc_id < c.new_id)
+            WHERE FLOOR(LEN(list_intersect(x.sh, y.sh)) * 1000.0
+                        / LEN(list_distinct(x.sh || y.sh))) >= 800)
+    SELECT doc_id FROM newd WHERE doc_id NOT IN (SELECT new_id FROM rej)
+    """,
+)
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs corpus) dedup admission
+    (operators/dedup.incremental_dedup): planted exact copies of corpus
+    docs must be rejected; genuinely novel docs admitted. The corpus
+    band table is the incrementally-maintained artifact at scale."""
+    d = tpch.load(spark, sf_dir, "documents")
+    planted = d.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 10 == 0)).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    new = d.filter(F.col("doc_id") >= 400).select("doc_id", "text").unionByName(planted)
+    corpus = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    return DD.incremental_dedup(new, corpus).select("doc_id")

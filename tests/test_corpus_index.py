@@ -218,3 +218,25 @@ def test_prepare_corpus_stages(spark):
     assert 24 not in out          # eval leakage
     assert out[25].n_emails == 1 and out[25].n_ips == 1
     assert "<EMAIL>" in out[25].text_clean and "<IP>" in out[25].text_clean
+
+
+def test_incremental_dedup_admission(spark):
+    """Incremental dedup: corpus dups rejected, batch-internal dups
+    admit exactly the first occurrence, novel docs admitted."""
+    from osm2gtfs_spark.operators.dedup import incremental_dedup
+
+    old_text = " ".join(f"alpha{i} bravo{i} carol{i}" for i in range(10))
+    novel = " ".join(f"xray{i} yank{i} zulu{i}" for i in range(10))
+    batch_dup = " ".join(f"mike{i} nov{i} osc{i}" for i in range(10))
+    corpus = spark.createDataFrame([(1, old_text)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (100, old_text),      # exact corpus dup -> reject
+            (101, novel),         # novel -> admit
+            (102, batch_dup),     # first occurrence -> admit
+            (103, batch_dup),     # batch-internal dup -> reject
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in incremental_dedup(new, corpus).collect()}
+    assert got == {101, 102}

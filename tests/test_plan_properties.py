@@ -1,0 +1,56 @@
+"""Physical-plan regression guard.
+
+The manual audit (tools/plan_audit.py, PLANS.md) established the plan
+invariants the 100 TB story rests on; this test pins them in CI for a
+representative cross-section of the gate registry, so a refactor that
+reintroduces a cartesian product, a single-partition exchange, or an
+unsanctioned Python eval fails the suite instead of waiting for the
+next manual audit. Plans are compiled, never executed — the test adds
+seconds, not minutes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from osm2gtfs_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+# query -> max sanctioned Python evals (only the media byte decoder
+# and the IVF Lloyd mapInPandas are allowed Python on the hot path)
+GUARDED = {
+    "q1_pricing_summary": 0,
+    "knn_snap": 0,
+    "minhash_lsh_pairs": 0,
+    "ngram_jaccard_dedup": 0,
+    "ann_lsh_topk": 0,
+    "embedding_near_dup": 0,
+    "dup_span_scrub": 0,
+    "pack_sequences": 0,
+    "inverted_index": 0,
+    "bm25_topk": 0,
+    "incremental_dedup": 0,
+    "url_canonical_filter": 0,
+    "corpus_prep_pipeline": 0,
+    "media_decode_meta_real": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(GUARDED))
+def test_plan_invariants(spark, name):
+    df = Q.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan), name
+    assert not re.search(
+        r"Exchange SinglePartition|Arguments: SinglePartition", plan
+    ), name
+    n_py = len(
+        re.findall(
+            r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)",
+            plan,
+        )
+    )
+    assert n_py <= GUARDED[name], f"{name}: {n_py} Python evals in plan"
