@@ -2078,3 +2078,72 @@ def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") >= 400).select("doc_id", "text").unionByName(planted)
     corpus = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
     return DD.incremental_dedup(new, corpus).select("doc_id")
+
+
+@register(
+    "tile_coverage_stream",
+    f"""
+    -- the STREAMING tile-coverage aggregation, value-checked against
+    -- the plain batch SQL: the engine side drains the bounded events
+    -- source through Structured Streaming (watermark + windowed
+    -- groupBy, AvailableNow trigger); a correct implementation's drain
+    -- equals the batch aggregate exactly.
+    WITH p AS (SELECT ts,
+                      (user_id % 180) - 90 + value / 1000.0 AS lat,
+                      (event_id % 360) - 180 + value / 1000.0 AS lon
+               FROM events)
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws_epoch,
+           {cell_id_sql('lat', 'lon', 5)} AS cell_id,
+           COUNT(*) AS n_points
+    FROM p GROUP BY 1, 2
+    """,
+)
+def tile_coverage_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the correctness gate: watermarked
+    window×cell coverage (streaming/events.tile_coverage_stream) drained
+    via AvailableNow into a memory sink, hash-matched against the batch
+    oracle — streaming correctness is driver-certified, not only
+    pytest-asserted."""
+    import tempfile
+
+    from osm2gtfs_spark.streaming import events as SE
+
+    pts = SE.stream_events(spark, sf_dir).select(
+        "ts",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    out = SE.tile_coverage_stream(pts, res=5, window="1 hour", watermark="2 hours")
+    with tempfile.TemporaryDirectory() as td:
+        SE.run_available_now(out, "gate_tiles_stream", td)
+    return spark.sql(
+        "SELECT CAST(window_start AS LONG) AS ws_epoch, cell_id, n_points "
+        "FROM gate_tiles_stream"
+    )
+
+
+@register(
+    "dedup_stream",
+    """
+    -- streaming exactly-once ingest: the engine unions the bounded
+    -- events stream with a full replay of itself (every row arrives
+    -- twice) and drains through dropDuplicatesWithinWatermark; a
+    -- correct implementation emits each event exactly once.
+    SELECT event_id FROM events
+    """,
+)
+def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup in the correctness gate
+    (streaming/events.dedup_stream): a doubled source must collapse to
+    exactly one row per event id — the exactly-once building block,
+    driver-certified against the trivially-stated batch truth."""
+    import tempfile
+
+    from osm2gtfs_spark.streaming import events as SE
+
+    s1 = SE.stream_events(spark, sf_dir)
+    doubled = s1.unionByName(SE.stream_events(spark, sf_dir))
+    out = SE.dedup_stream(doubled, key_cols=["event_id"])
+    with tempfile.TemporaryDirectory() as td:
+        SE.run_available_now(out, "gate_dedup_stream", td)
+    return spark.sql("SELECT event_id FROM gate_dedup_stream")
