@@ -1692,7 +1692,8 @@ _TOK_CTE = """
     "inverted_index",
     _TOK_CTE
     + """
-    , keep AS (SELECT token FROM dfq WHERE df <= 400)
+    , keep AS (SELECT token FROM dfq
+               WHERE df <= (SELECT COUNT(*) * 4 // 5 FROM documents))
     SELECT t.token,
            CAST(COUNT(*) AS BIGINT) AS df,
            md5(string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id)) AS postings_md5
@@ -1708,7 +1709,9 @@ def inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2gtfs_spark.operators import corpus_index as CI
 
     d = tpch.load(spark, sf_dir, "documents")
-    idx = CI.inverted_index(d, max_df=400)
+    # corpus-proportional stopword cap (80% of docs) so the gate stays
+    # meaningful at every sf (an absolute cap kept 1 token at sf0.1)
+    idx = CI.inverted_index(d, max_df=d.count() * 4 // 5)
     return idx.select(
         "token",
         "df",
