@@ -50,3 +50,29 @@ def test_bbox_scan_prunes_cell_partitions(spark, sf_dir, tmp_path):
     assert pruned.count() == full.count()
     plan2 = pruned._jdf.queryExecution().executedPlan().toString()
     assert "cell_r4" in plan2.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+
+
+def test_ivf_postings_partition_pruned_probe(spark, sf_dir, tmp_path):
+    """The IVF 100 TB story made concrete: posting lists written
+    hive-partitioned by cell; a probe of nprobe cells must reach the
+    scan as a PARTITION filter (reads only those cells' files) and
+    return exactly the brute recomputation's rows."""
+    from osm2gtfs_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    cents = S.ivf_centroids(emb, n_cells=8, iters=2)
+    postings = S.ivf_assign(emb, cents)
+    out = str(tmp_path / "postings_by_cell")
+    postings.write.partitionBy("cell").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    probe_cells = [0, 3]
+    q = back.filter(F.col("cell").isin(probe_cells))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "cell" in seg, f"cell probe not pushed to partitions: {seg}"
+
+    want = {r.vec_id for r in postings.filter(F.col("cell").isin(probe_cells)).collect()}
+    got = {r.vec_id for r in q.collect()}
+    assert got == want and 0 < len(got) < emb.count()
