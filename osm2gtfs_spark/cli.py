@@ -35,17 +35,25 @@ log = logging.getLogger("osm2gtfs_spark.cli")
 # stage groups for --refresh-* → CheckpointCatalog.invalidate, matching
 # the checkpointed pipeline's stage DAG (plans/pipeline.py): each group
 # is the dependency closure of the data the reference flag refetches
-STOP_STAGES = ["nodes", "ways", "stops", "stations", "parent_map", "stops_final"]
+# schedule-path stages carry a sched_ prefix wherever their schema
+# differs from the frequency pipeline's same-role stage (so toggling
+# schedule_source against an existing cache_dir can never resume
+# schema-incompatible data); each closure below lists every stage whose
+# output depends on the refreshed source, per pipeline
+_SCHED_DOWNSTREAM = [
+    "per_service", "sched_filled", "sched_trips", "sched_stop_times",
+    "sched_stops_final", "sched_routes_final",
+]
+STOP_STAGES = [
+    "nodes", "ways", "stops", "stations", "parent_map", "stops_final",
+    # schedule path: alignment + everything derived from it uses stops
+    "sched_filled", "sched_stop_times", "sched_stops_final", "sched_routes_final",
+]
 ROUTE_STAGES = [
     "relations", "lines", "itineraries", "itin_stops", "shapes",
     "trips", "frequencies", "stop_times", "routes_final", "stops_final",
-    "per_service", "sched_filled",
-]
-# dependency closure of the schedule source (run_schedule_pipeline_checkpointed)
-SCHEDULE_STAGES = [
-    "schedule", "per_service", "sched_filled", "trips", "stop_times",
-    "routes_final", "stops_final",
-]
+] + _SCHED_DOWNSTREAM
+SCHEDULE_STAGES = ["schedule"] + _SCHED_DOWNSTREAM
 
 DEDICATED_SELECTORS = ("gh_accra", "ci_abidjan", "br_florianopolis")
 

@@ -157,18 +157,24 @@ def bm25_topk(
 ) -> DataFrame:
     """(doc_id, score): top-k documents for a query string, integer-BM25.
 
-    Per (doc, query-term): tf_norm = (4000·tf·S) div (4·tf·S + S + 3·dl·N)
-    — BM25's length normalization with k1=1 and b=3/4 cleared to one
-    integer fraction (S = corpus token count, N = doc count, dl = doc
-    length; b=3/4 ⇒ (1-b)+b·dl/avgdl = (S + 3·dl·N)/(4·S) with
-    avgdl = S/N). Doc score = Σ idf_scaled · tf_norm over query terms,
-    idf_scaled = N·1000 div df. Query terms prune the term table with an
+    Per (doc, query-term): with avgdl = max(1, S div N) computed
+    driver-side (Python int, no executor overflow) and the per-mille
+    length ratio r = (1000·dl) div avgdl,
+    tf_norm = (4000·tf·1000) div (4·tf·1000 + 1000 + 3·r) — BM25's
+    length normalization with k1=1, b=3/4 cleared to one integer
+    fraction (b=3/4 ⇒ (1-b)+b·dl/avgdl ≈ (4000 + 3·r/ ) /4000). Doc
+    score = Σ idf_scaled · tf_norm over query terms, idf_scaled =
+    N·1000 div df. Every executor-side intermediate is bounded by
+    4·10⁹·tf (review r4: the earlier 4000·tf·S form wrapped int64 at
+    corpus scale, S ≈ 10¹³ tokens) — safe for any N, S and per-doc
+    lengths up to ~10⁶ tokens. Query terms prune the term table with an
     IN-list BEFORE the joins (pushed to the scan). Top-k is
     orderBy+limit → TakeOrdered, a bounded per-partition merge."""
     terms = sorted({t for t in query.split() if t})
     if not terms:
         raise ValueError("empty query")
     n, s = stats if stats is not None else corpus_stats(docs, doc_id, text_col)
+    avgdl = max(1, s // n)
     tc = term_counts(docs, doc_id, text_col).filter(F.col("token").isin(terms))
     dfreq = doc_freq(docs, doc_id, text_col).filter(F.col("token").isin(terms))
     dl = doc_lengths(docs, doc_id, text_col)
@@ -179,7 +185,10 @@ def bm25_topk(
             F.col(doc_id),
             (
                 F.expr(f"({n} * {IDF_SCALE}) div df")
-                * F.expr(f"({BM25_SCALE} * tf * {s}) div (4 * tf * {s} + {s} + 3 * dl * {n})")
+                * F.expr(
+                    f"({BM25_SCALE} * tf * 1000) div "
+                    f"(4 * tf * 1000 + 1000 + 3 * ((1000 * dl) div {avgdl}))"
+                )
             ).alias("term_score"),
         )
     )

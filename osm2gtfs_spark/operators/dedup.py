@@ -283,20 +283,36 @@ def connected_components(
     executor kills the whole iteration chain) to RELIABLE checkpointing
     into that directory (HDFS/S3/DBFS path on a cluster): iteration
     state then survives executor loss, the right trade at cluster
-    scale. Local mode keeps the default ``localCheckpoint``."""
+    scale. Local mode keeps the default ``localCheckpoint``.
+
+    The SparkContext's previous checkpoint dir is restored on exit
+    (review r4 — setCheckpointDir is process-global). Each iteration
+    writes a checkpoint copy under ``checkpoint_dir`` and Spark does
+    not delete superseded ones by default: set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or clean
+    the directory after the job) for repeated backfills."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
+        prev_opt = sc._jsc.sc().getCheckpointDir()
+        prev_dir = prev_opt.get() if prev_opt.isDefined() else None
         sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
-    else:
 
-        def _ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+        try:
+            return _cc_run(pairs, id_a, id_b, max_iters, _ckpt)
+        finally:
+            if prev_dir is not None:
+                sc.setCheckpointDir(prev_dir)
+    return _cc_run(
+        pairs, id_a, id_b, max_iters, lambda df: df.localCheckpoint()
+    )
 
+
+def _cc_run(pairs, id_a, id_b, max_iters, _ckpt):
     edges = _ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -597,30 +613,39 @@ def incremental_dedup(
         .select("new_id", "old_id")
         .distinct()
     )
-    cand = cand_old.unionByName(cand_self).distinct()
     new_sh = new_docs.select(
         F.col(doc_id).alias("new_id"), shingles(F.col(text_col)).alias("sh_n")
     )
-    old_sh = (
-        corpus.select(F.col(doc_id), shingles(F.col(text_col)).alias("sh_o"))
-        .unionByName(
-            new_docs.select(F.col(doc_id), shingles(F.col(text_col)).alias("sh_o"))
-        )
-        .withColumnRenamed(doc_id, "old_id")
+    jac = F.floor(
+        F.size(F.array_intersect("sh_n", "sh_o")) * 1000.0
+        / F.size(F.array_union("sh_n", "sh_o"))
     )
-    rejected = (
-        cand.join(new_sh, "new_id")
-        .join(old_sh, "old_id")
-        .filter(
-            F.floor(
-                F.size(F.array_intersect("sh_n", "sh_o")) * 1000.0
-                / F.size(F.array_union("sh_n", "sh_o"))
-            )
-            >= jaccard_threshold_permille
+    # the verify join is SIDE-QUALIFIED (review r4): a candidate's old_id
+    # resolves against the side that produced it — a doc_id value shared
+    # by the batch and the corpus must never join the wrong text
+    rej_old = (
+        cand_old.join(new_sh, "new_id")
+        .join(
+            corpus.select(
+                F.col(doc_id).alias("old_id"), shingles(F.col(text_col)).alias("sh_o")
+            ),
+            "old_id",
         )
+        .filter(jac >= jaccard_threshold_permille)
         .select("new_id")
-        .distinct()
     )
+    rej_self = (
+        cand_self.join(new_sh, "new_id")
+        .join(
+            new_docs.select(
+                F.col(doc_id).alias("old_id"), shingles(F.col(text_col)).alias("sh_o")
+            ),
+            "old_id",
+        )
+        .filter(jac >= jaccard_threshold_permille)
+        .select("new_id")
+    )
+    rejected = rej_old.unionByName(rej_self).distinct()
     return new_docs.join(
         rejected.withColumnRenamed("new_id", doc_id), doc_id, "left_anti"
     )

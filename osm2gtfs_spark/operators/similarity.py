@@ -107,21 +107,14 @@ def auto_n_planes(corpus_size: int) -> int:
     return max(_MIN_PLANES, min(_MAX_PLANES, math.ceil(math.log2(corpus_size / TARGET_BUCKET_ROWS))))
 
 
-def _hot_bucket_keys(sizing: DataFrame, max_bucket: int) -> DataFrame:
-    """(table, bucket) keys whose *corpus-side* population exceeds
-    ``max_bucket`` (the skew guard ported from dedup.lsh_candidate_pairs:
-    a bucket of m vectors yields m²/2 pairs, so one hot bucket — all-zero
-    embeddings, boilerplate — dominates the whole join). The hot-key
-    list is ≤ N/max_bucket rows — broadcastable metadata. Compute ONCE
-    and anti-join every side against it (the aggregate scans the full
-    corpus bucket table)."""
-    return sizing.groupBy("table", "bucket").count().filter(F.col("count") > max_bucket)
-
-
 def _hot_bucket_keys_checked(
     sizing: DataFrame, max_bucket: int, n_planes: int, op: str
 ) -> DataFrame:
-    """`_hot_bucket_keys` plus the undersized-plane guard (VERDICT r3 #1):
+    """(table, bucket) keys whose *corpus-side* population exceeds
+    ``max_bucket`` (the skew guard ported from dedup.lsh_candidate_pairs:
+    a bucket of m vectors yields m²/2 pairs, so one hot bucket — all-zero
+    embeddings, boilerplate — dominates the whole join), plus the
+    undersized-plane guard (VERDICT r3 #1):
     if the cap would eliminate EVERY non-empty bucket the candidate join
     degenerates to an empty result — a wrong-shaped answer, not an
     approximation — so fail loudly with the fix in the message. A

@@ -184,8 +184,12 @@ def pii_scrub(
 # --- URL normalization (web-scale corpus dedup/provenance) -----------------
 # Regexes restricted to syntax shared by Java regex (Spark) and RE2
 # (DuckDB): no lookaround, no backrefs — so the oracle reproduces the
-# chain verbatim.
-_TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*&?"
+# chain verbatim. The param-name alternation is ANCHORED to a preceding
+# separator (review r4: an unanchored pattern matched the 'ref=' inside
+# 'href=1' and corrupted the canonical form); the kept separator is
+# restored via the capture group, and duplicate/dangling separators are
+# cleaned by the follow-up passes.
+_TRACKING_PARAM_RE = r"([?&])(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def url_canonicalize(url_col) -> Column:
@@ -201,9 +205,10 @@ def url_canonicalize(url_col) -> Column:
     u = F.regexp_replace(u, r"#.*$", "")               # fragment
     u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")  # scheme
     u = F.regexp_replace(u, r"^www\.", "")
-    u = F.regexp_replace(u, _TRACKING_PARAM_RE, "")    # tracking params
+    u = F.regexp_replace(u, _TRACKING_PARAM_RE, r"$1")  # tracking params
+    u = F.regexp_replace(u, r"&&+", "&")               # collapse '&&'
+    u = F.regexp_replace(u, r"\?&+", "?")              # '?&x=1' → '?x=1'
     u = F.regexp_replace(u, r"[?&]+$", "")             # dangling separators
-    u = F.regexp_replace(u, r"\?&", "?")               # '?&x=1' → '?x=1'
     u = F.regexp_replace(u, r"/\?", "?")               # '/path/?q' → '/path?q'
     return F.regexp_replace(u, r"/$", "")              # trailing slash
 

@@ -97,13 +97,7 @@ def run_frequency_pipeline(
     stops_final = gtfs.prune_unused_stops(stops, stop_times).join(
         parent_map, "stop_key", "left"
     )
-    routes_final = gtfs.prune_unused_routes(lines, trips).select(
-        "route_id",
-        F.col("name").alias("route_long_name"),
-        F.col("route_id").alias("route_short_name"),
-        "route_type",
-        F.col("colour").alias("route_color"),
-    )
+    routes_final = _routes_final(lines, trips)
     spark = docs.sparkSession
     calendar = spark.createDataFrame(
         [("always", 1, 1, 1, 1, 1, 1, 1, feed_start, feed_end)],
@@ -188,13 +182,7 @@ def run_frequency_pipeline_checkpointed(
     )
     routes_final = cat.run_stage(
         "routes_final",
-        lambda: gtfs.prune_unused_routes(lines, trips_full).select(
-            "route_id",
-            F.col("name").alias("route_long_name"),
-            F.col("route_id").alias("route_short_name"),
-            "route_type",
-            F.col("colour").alias("route_color"),
-        ),
+        lambda: _routes_final(lines, trips_full),
         ["lines", "trips"],
     )
     spark = docs.sparkSession
@@ -215,6 +203,93 @@ def run_frequency_pipeline_checkpointed(
     )
 
 
+# --- shared schedule-path builders (review r4: the checkpointed and
+# plain schedule pipelines previously duplicated ~80 lines; a one-sided
+# edit would silently diverge their outputs) ---------------------------
+
+def _itin_stops_named(itin_stops, stops, parent_map, stations):
+    """Stop rows with name + parent-station name (J7 fallback input)."""
+    return (
+        itin_stops.join(stops.select("stop_key", "name"), "stop_key", "left")
+        .join(parent_map, "stop_key", "left")
+        .join(
+            stations.select(
+                F.col("station_key").alias("parent_station"),
+                F.col("name").alias("parent_name"),
+            ),
+            "parent_station",
+            "left",
+        )
+        .select("itinerary_osm_id", "pos", "stop_key", "name", "parent_name")
+    )
+
+
+def _schedule_trips_full(per_service, small_threshold=None):
+    """O5 id determinism for the schedule path: two-phase global index
+    over (route, itinerary seq, service order, departure)."""
+    from osm2gtfs_spark.plans import schedule_path as SP
+
+    return (
+        global_index(
+            per_service.select(
+                "itinerary_osm_id",
+                "service",
+                "route_id",
+                "to",
+                "itinerary_id",
+                "seq",
+                "svc_order",
+                F.posexplode("times").alias("trip_seq", "_times"),
+            ),
+            ["route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"],
+            "_trip_idx",
+            small_threshold=small_threshold,
+        )
+        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
+        .select(
+            "trip_id",
+            "route_id",
+            SP.service_id_col().alias("service_id"),
+            F.col("itinerary_id").alias("shape_id"),
+            F.col("to").alias("trip_headsign"),
+            "itinerary_osm_id",
+            "service",
+            "trip_seq",
+        )
+    )
+
+
+def _schedule_stop_times(filled, trips_full):
+    st_order = Window.partitionBy("trip_id").orderBy("pos")
+    return (
+        filled.join(
+            trips_full.select("trip_id", "itinerary_osm_id", "service", "trip_seq"),
+            ["itinerary_osm_id", "service", "trip_seq"],
+        )
+        .filter(F.col("time_secs_filled").isNotNull())
+        .select(
+            "trip_id",
+            gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("arrival_time"),
+            gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("departure_time"),
+            "stop_key",
+            F.row_number().over(st_order).alias("stop_sequence"),
+            "timepoint",
+            "pos",
+        )
+        .drop("pos")
+    )
+
+
+def _routes_final(lines, trips):
+    return gtfs.prune_unused_routes(lines, trips).select(
+        "route_id",
+        F.col("name").alias("route_long_name"),
+        F.col("route_id").alias("route_short_name"),
+        "route_type",
+        F.col("colour").alias("route_color"),
+    )
+
+
 def run_schedule_pipeline_checkpointed(
     docs: DataFrame,
     catalog,
@@ -225,11 +300,13 @@ def run_schedule_pipeline_checkpointed(
     """Schedule-join pipeline with every stage materialized to the
     checkpoint catalog (ADVICE r3: a configured ``cache_dir`` previously
     fell back to full recompute on this path). Stage DAG mirrors
-    :func:`run_schedule_pipeline`; OSM-side stage names match the
-    frequency pipeline so the CLI ``--refresh-*`` groups invalidate the
-    same closures, and the schedule side adds ``schedule`` (decode),
-    ``per_service`` (J5 join + A3 dedup) and ``sched_filled`` (J7
-    alignment + W6 interpolation)."""
+    :func:`run_schedule_pipeline` through the shared builders above;
+    OSM-side stage names match the frequency pipeline so the CLI
+    ``--refresh-*`` groups invalidate the same closures. Stages whose
+    SCHEMA differs from the frequency pipeline's same-role stages carry
+    a ``sched_`` prefix (review r4: reusing 'trips'/'stop_times' names
+    meant toggling schedule_source against an existing cache_dir
+    resumed schema-incompatible cached data)."""
     from osm2gtfs_spark.plans import schedule_path as SP
 
     cat = catalog
@@ -268,20 +345,9 @@ def run_schedule_pipeline_checkpointed(
     )
 
     def _filled():
-        itin_stops_named = (
-            itin_stops.join(stops.select("stop_key", "name"), "stop_key", "left")
-            .join(parent_map, "stop_key", "left")
-            .join(
-                stations.select(
-                    F.col("station_key").alias("parent_station"),
-                    F.col("name").alias("parent_name"),
-                ),
-                "parent_station",
-                "left",
-            )
-            .select("itinerary_osm_id", "pos", "stop_key", "name", "parent_name")
+        aligned = SP.align_stops(
+            _itin_stops_named(itin_stops, stops, parent_map, stations), per_service
         )
-        aligned = SP.align_stops(itin_stops_named, per_service)
         return SP.interpolate_times_distance(
             aligned, stops.select("stop_key", "lat", "lon")
         )
@@ -290,57 +356,15 @@ def run_schedule_pipeline_checkpointed(
         "sched_filled", _filled, ["itin_stops", "stops", "parent_map", "stations", "per_service"]
     )
     trips_full = cat.run_stage(
-        "trips",
-        lambda: global_index(
-            per_service.select(
-                "itinerary_osm_id",
-                "service",
-                "route_id",
-                "to",
-                "itinerary_id",
-                "seq",
-                "svc_order",
-                F.posexplode("times").alias("trip_seq", "_times"),
-            ),
-            ["route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"],
-            "_trip_idx",
-            small_threshold=SMALL_INDEX_THRESHOLD,
-        )
-        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
-        .select(
-            "trip_id",
-            "route_id",
-            SP.service_id_col().alias("service_id"),
-            F.col("itinerary_id").alias("shape_id"),
-            F.col("to").alias("trip_headsign"),
-            "itinerary_osm_id",
-            "service",
-            "trip_seq",
-        ),
+        "sched_trips",
+        lambda: _schedule_trips_full(per_service, small_threshold=SMALL_INDEX_THRESHOLD),
         ["per_service"],
     )
-
-    def _stop_times():
-        st_order = Window.partitionBy("trip_id").orderBy("pos")
-        return (
-            filled.join(
-                trips_full.select("trip_id", "itinerary_osm_id", "service", "trip_seq"),
-                ["itinerary_osm_id", "service", "trip_seq"],
-            )
-            .filter(F.col("time_secs_filled").isNotNull())
-            .select(
-                "trip_id",
-                gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("arrival_time"),
-                gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("departure_time"),
-                "stop_key",
-                F.row_number().over(st_order).alias("stop_sequence"),
-                "timepoint",
-                "pos",
-            )
-            .drop("pos")
-        )
-
-    stop_times = cat.run_stage("stop_times", _stop_times, ["sched_filled", "trips"])
+    stop_times = cat.run_stage(
+        "sched_stop_times",
+        lambda: _schedule_stop_times(filled, trips_full),
+        ["sched_filled", "sched_trips"],
+    )
     live_trips = trips_full.join(
         stop_times.select("trip_id").distinct(), "trip_id", "left_semi"
     )
@@ -349,22 +373,16 @@ def run_schedule_pipeline_checkpointed(
         per_service.select("service"), feed_start, feed_end
     )
     stops_final = cat.run_stage(
-        "stops_final",
+        "sched_stops_final",
         lambda: gtfs.prune_unused_stops(stops, stop_times).join(
             parent_map, "stop_key", "left"
         ),
-        ["stops", "stop_times", "parent_map"],
+        ["stops", "sched_stop_times", "parent_map"],
     )
     routes_final = cat.run_stage(
-        "routes_final",
-        lambda: gtfs.prune_unused_routes(lines, trips).select(
-            "route_id",
-            F.col("name").alias("route_long_name"),
-            F.col("route_id").alias("route_short_name"),
-            "route_type",
-            F.col("colour").alias("route_color"),
-        ),
-        ["lines", "trips"],
+        "sched_routes_final",
+        lambda: _routes_final(lines, trips),
+        ["lines", "sched_trips", "sched_stop_times"],
     )
     tables = GtfsTables(
         stops=stops_final,
@@ -423,20 +441,7 @@ def run_schedule_pipeline(
     )
 
     # stop rows with name + parent-station name (J7 fallback input)
-    itin_stops_named = (
-        itin_stops.join(stops.select("stop_key", "name"), "stop_key", "left")
-        .join(parent_map, "stop_key", "left")
-        .join(
-            # stations scale with the corpus like parent_map — AQE decides
-            stations.select(
-                F.col("station_key").alias("parent_station"),
-                F.col("name").alias("parent_name"),
-            ),
-            "parent_station",
-            "left",
-        )
-        .select("itinerary_osm_id", "pos", "stop_key", "name", "parent_name")
-    )
+    itin_stops_named = _itin_stops_named(itin_stops, stops, parent_map, stations)
 
     matched = SP.match_schedule(itineraries, schedule)
     per_service = SP.itinerary_service_schedule(matched)
@@ -449,55 +454,13 @@ def run_schedule_pipeline(
     # member order, services in first-occurrence order, then time rows;
     # two-phase global index (bucketed by route_id) — no single-partition
     # window over the trip rows
-    trips_full = (
-        global_index(
-            per_service.select(
-                "itinerary_osm_id",
-                "service",
-                "route_id",
-                "to",
-                "itinerary_id",
-                "seq",
-                "svc_order",
-                F.posexplode("times").alias("trip_seq", "_times"),
-            ),
-            ["route_id", "seq", "itinerary_osm_id", "svc_order", "trip_seq"],
-            "_trip_idx",
-            small_threshold=SMALL_INDEX_THRESHOLD if persist else None,
-        )
-        .withColumn("trip_id", F.col("_trip_idx").cast("string"))
-        .select(
-            "trip_id",
-            "route_id",
-            SP.service_id_col().alias("service_id"),
-            F.col("itinerary_id").alias("shape_id"),
-            F.col("to").alias("trip_headsign"),
-            "itinerary_osm_id",
-            "service",
-            "trip_seq",
-        )
+    trips_full = _schedule_trips_full(
+        per_service, small_threshold=SMALL_INDEX_THRESHOLD if persist else None
     )
     if persist:
         trips_full = trips_full.cache()
 
-    st_order = Window.partitionBy("trip_id").orderBy("pos")
-    stop_times = (
-        filled.join(
-            trips_full.select("trip_id", "itinerary_osm_id", "service", "trip_seq"),
-            ["itinerary_osm_id", "service", "trip_seq"],
-        )
-        .filter(F.col("time_secs_filled").isNotNull())
-        .select(
-            "trip_id",
-            gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("arrival_time"),
-            gtfs.secs_to_gtfs(F.col("time_secs_filled")).alias("departure_time"),
-            "stop_key",
-            F.row_number().over(st_order).alias("stop_sequence"),
-            "timepoint",
-            "pos",
-        )
-        .drop("pos")
-    )
+    stop_times = _schedule_stop_times(filled, trips_full)
     if persist:
         stop_times = stop_times.cache()
 
@@ -514,13 +477,7 @@ def run_schedule_pipeline(
     stops_final = gtfs.prune_unused_stops(stops, stop_times).join(
         parent_map, "stop_key", "left"
     )
-    routes_final = gtfs.prune_unused_routes(lines, trips).select(
-        "route_id",
-        F.col("name").alias("route_long_name"),
-        F.col("route_id").alias("route_short_name"),
-        "route_type",
-        F.col("colour").alias("route_color"),
-    )
+    routes_final = _routes_final(lines, trips)
     if eager and persist:
         # same rationale as the frequency path: warm the deep shared
         # chain once before concurrent sink fan-out

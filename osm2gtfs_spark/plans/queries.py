@@ -1763,7 +1763,8 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TOK_CTE
     + """
     , stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                       CAST(SUM(LEN(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS s
+                       GREATEST(CAST(SUM(LEN(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+                                // CAST(COUNT(*) AS BIGINT), 1) AS avgdl
                 FROM documents),
      dl AS (SELECT doc_id,
                    CAST(LEN(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
@@ -1771,7 +1772,8 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, score FROM (
       SELECT t.doc_id,
              CAST(SUM(((st.n * 1000) // d.df)
-                      * ((4000 * t.tf * st.s) // (4 * t.tf * st.s + st.s + 3 * l.dl * st.n))) AS BIGINT) AS score
+                      * ((4000 * t.tf * 1000)
+                         // (4 * t.tf * 1000 + 1000 + 3 * ((1000 * l.dl) // st.avgdl)))) AS BIGINT) AS score
       FROM tc t
       JOIN dfq d USING (token)
       JOIN dl l ON t.doc_id = l.doc_id
@@ -1810,13 +1812,14 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE '/path?id=' || doc_id || '&utm_campaign=z' END AS url
       FROM documents),
     c AS (SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
         '#.*$', '', 'g'),
         '^[a-z][a-z0-9+.-]*://', '', 'g'),
         '^www\.', '', 'g'),
-        '(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+        '([?&])(utm_[A-Za-z0-9]+|fbclid|gclid|ref)=[^&#]*', '\1', 'g'),
+        '&&+', '&', 'g'),
+        '\?&+', '?', 'g'),
         '[?&]+$', '', 'g'),
-        '\?&', '?', 'g'),
         '/\?', '?', 'g'),
         '/$', '', 'g') AS url_canon,
       regexp_replace(regexp_extract(regexp_replace(regexp_replace(lower(url),
@@ -2055,7 +2058,7 @@ def corpus_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHEN 2 THEN md5(mh4 || '|' || mh5)
                               ELSE md5(mh6 || '|' || mh7) END AS band_hash
               FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b),
-    cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id, o.side AS oside
              FROM bands n JOIN bands o
                ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
              WHERE n.side = 'new'
@@ -2063,7 +2066,7 @@ def corpus_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rej AS (SELECT DISTINCT c.new_id
             FROM cand c
             JOIN s x ON x.side = 'new' AND x.doc_id = c.new_id
-            JOIN s y ON y.doc_id = c.old_id AND (y.side = 'old' OR y.doc_id < c.new_id)
+            JOIN s y ON y.side = c.oside AND y.doc_id = c.old_id
             WHERE FLOOR(LEN(list_intersect(x.sh, y.sh)) * 1000.0
                         / LEN(list_distinct(x.sh || y.sh))) >= 800)
     SELECT doc_id FROM newd WHERE doc_id NOT IN (SELECT new_id FROM rej)

@@ -233,7 +233,12 @@ class CheckpointCatalog:
             # zero-row marker manifest so the stage is readable by other
             # callers (catalog.read) and visible in metrics() like every
             # committed stage; the schema travels in the manifest since
-            # there is no parquet footer to infer it from
+            # there is no parquet footer to infer it from. A marker from
+            # a PREVIOUS empty run is kept as-is (review r4): committed
+            # snapshot ids must stay stable across plain re-runs, the
+            # same contract non-empty partitions honor via the partlog.
+            if os.path.exists(self._manifest_path(stage)):
+                return self.read(stage)
             os.makedirs(self._dir(stage), exist_ok=True)
             manifest = {
                 "stage": stage,

@@ -162,6 +162,13 @@ def test_empty_stage_marker_readable(spark, tmp_path):
     assert "void2" in {m["stage"] for m in cat.metrics()}
     assert cat.is_complete("void2")
 
+    # review r4: a plain re-run of the still-empty stage keeps the
+    # committed marker (stable snapshot id), like non-empty partitions
+    snap1 = cat.manifest("void2")["snapshot_id"]
+    out_again = cat.run_partitioned_stage("void2", lambda: empty, "tile")
+    assert out_again.count() == 0
+    assert cat.manifest("void2")["snapshot_id"] == snap1
+
     df = spark.createDataFrame([("t", 1)], "tile string, v int")
     out2 = cat.run_partitioned_stage("void2", lambda: df, "tile")
     assert out2.count() == 1

@@ -341,7 +341,7 @@ def test_cli_schedule_path_checkpointed(spark, tmp_path):
 
     cat = CheckpointCatalog(spark, config["cache_dir"])
     snaps1 = {m["stage"]: m["snapshot_id"] for m in cat.metrics()}
-    assert {"schedule", "per_service", "sched_filled", "stop_times"} <= set(snaps1)
+    assert {"schedule", "per_service", "sched_filled", "sched_stop_times"} <= set(snaps1)
 
     # plain re-run resumes every stage
     cli.run(_args(["-c", str(cfg), "-o", str(tmp_path / "w2.zip")]), spark=spark)

@@ -240,3 +240,24 @@ def test_incremental_dedup_admission(spark):
     )
     got = {r.doc_id for r in incremental_dedup(new, corpus).collect()}
     assert got == {101, 102}
+
+
+def test_url_canonicalize_anchored_params(spark):
+    """Review r4: only WHOLE param names are tracking params — 'href='
+    must survive; consecutive tracking params must all be removed."""
+    from osm2gtfs_spark.operators.text import url_canonicalize
+
+    rows = [
+        (1, "example.com/a?href=1"),
+        (2, "example.com/a?agclid=7&b=2"),
+        (3, "example.com/a?utm_a=1&utm_b=2&id=3"),
+        (4, "example.com/a?id=3&utm_a=1&utm_b=2"),
+        (5, "example.com/a?utm_a=1&utm_b=2"),
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {r.i: r.c for r in df.select("i", url_canonicalize(F.col("url")).alias("c")).collect()}
+    assert got[1] == "example.com/a?href=1"
+    assert got[2] == "example.com/a?agclid=7&b=2"
+    assert got[3] == "example.com/a?id=3"
+    assert got[4] == "example.com/a?id=3"
+    assert got[5] == "example.com/a"

@@ -407,17 +407,26 @@ def test_solar_time_overrides(spark):
     starts = sorted((w["start_secs"], w["end_secs"], w["headway_secs"]) for w in cond)
     assert (5 * 3600 + 1800, 9 * 3600, 600) in starts
 
-    # the Column API ships the override in the UDF closure
+    # the Column API ships the override in the UDF closure — query the
+    # OVERRIDDEN keys so a dropped solar_times would fail (review r4:
+    # dawn/dusk were not in the override, so defaults passed either way)
     df = spark.createDataFrame(
-        [("Mo-Su dawn-dusk", "00:30", None)], "oh string, iv string, cond string"
+        [
+            ("Mo-Su sunrise-sunset", "00:30", None),
+            ("Mo-Su dawn-dusk", "00:30", None),  # NOT overridden → defaults
+        ],
+        "oh string, iv string, cond string",
     )
     rows = (
         df.select(
+            "oh",
             F.explode(
                 oh_windows(F.col("oh"), F.col("iv"), F.col("cond"), solar_times=over)
-            ).alias("w")
+            ).alias("w"),
         )
-        .select("w.start_secs", "w.end_secs")
+        .select("oh", "w.start_secs", "w.end_secs")
         .collect()
     )
-    assert [(r.start_secs, r.end_secs) for r in rows] == [(6 * 3600, 18 * 3600)]
+    got = {r.oh: (r.start_secs, r.end_secs) for r in rows}
+    assert got["Mo-Su sunrise-sunset"] == (5 * 3600 + 1800, 19 * 3600 + 900)
+    assert got["Mo-Su dawn-dusk"] == (6 * 3600, 18 * 3600)
