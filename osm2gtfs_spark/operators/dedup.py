@@ -71,10 +71,6 @@ def minhash_signature_sql(sh_expr: str, k: int = 8) -> list[str]:
     ]
 
 
-_MIX_A = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5,
-          0x85EBCA6B2B2AE35, 0xCC9E2D51B873593, 0x1B873593CC9E2D5, 0xE6546B64985E235]
-
-
 def minhash_signature_fast(sh: Column, k: int = 8) -> Column:
     """Scale-path minhash: ONE pass over the shingle array producing all
     k minhashes (array<long>).
