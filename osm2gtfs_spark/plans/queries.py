@@ -2153,3 +2153,44 @@ def dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory() as td:
         SE.run_available_now(out, "gate_dedup_stream", td)
     return spark.sql("SELECT event_id FROM gate_dedup_stream")
+
+
+@register(
+    "sessionize_batch",
+    """
+    -- gap-based sessionization (30-min inactivity): the batch twin of
+    -- the stateful streaming sessionizer, stated directly as window
+    -- algebra. Millisecond epochs on both sides — the same precision
+    -- as the streaming operator's state.
+    WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS es FROM events),
+    o AS (SELECT user_id, es,
+                 CASE WHEN LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                        OR es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) > 1800000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, es,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY es
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           MIN(es) AS start_ms,
+           MAX(es) AS end_ms,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def sessionize_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (streaming/events.sessionize_batch): per-user
+    windows only (no global sort); equivalence with the stateful
+    streaming sessionizer on closed sessions is asserted in
+    tests/test_streaming.py."""
+    from osm2gtfs_spark.streaming.events import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize_batch(ev)
+    return out.select(
+        "user_id",
+        F.unix_millis(F.col("session_start").cast("timestamp")).alias("start_ms"),
+        F.unix_millis(F.col("session_end").cast("timestamp")).alias("end_ms"),
+        "n_events",
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -197,3 +197,44 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
         .start()
     )
     q.awaitTermination(120)
+
+
+def sessionize_batch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch twin of the stateful streaming sessionizer: gap-based
+    sessions per user as pure window algebra — break where the gap to
+    the previous event exceeds ``gap_minutes``, session id = running
+    count of breaks, then one aggregate per (user, session).
+
+    Returns (user_id, session_start, session_end, n_events) for ALL
+    sessions (the streaming operator emits only closed ones — the batch
+    result additionally contains each user's final open session, which
+    the equivalence test accounts for). Windows are partitioned by
+    user — no global ordering, scale-safe."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # millisecond epochs — the SAME precision as the streaming
+    # sessionizer's state (SESSION_GAP_MS), so batch and streaming agree
+    # on boundary gaps; NTZ-safe via the session-UTC timestamp cast
+    es = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    gap = es - F.lag(es).over(w)
+    brk = F.when(gap.isNull() | (gap > gap_minutes * 60_000), 1).otherwise(0)
+    sess = (
+        events.select(F.col(user_col), F.col(ts_col))
+        .withColumn("_brk", brk)
+        .withColumn(
+            "_sid", F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return (
+        sess.groupBy(user_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sid")
+    )

@@ -109,3 +109,46 @@ def test_dedup_stream_drops_replays(spark, sf_dir, tmp_path):
     want = ev.select("event_id").distinct().count()
     assert got.d == want, "every original event id exactly once"
     assert got.n == got.d, "no duplicate rows in the deduped stream"
+
+
+def test_sessionize_batch_matches_streaming_closed_sessions(spark, sf_dir, tmp_path):
+    """The batch sessionizer and the stateful streaming sessionizer are
+    the SAME semantics at the same (millisecond) precision: the
+    streaming drain's closed sessions equal the batch result minus each
+    user's final (still-open) session."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from osm2gtfs_spark.streaming.events import sessionize, sessionize_batch, stream_events
+
+    out = sessionize(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_equiv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, int(pd.Timestamp(r.session_start).value // 10**6),
+         int(pd.Timestamp(r.session_end).value // 10**6), r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_equiv").collect()
+    }
+
+    batch = sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    rows = batch.select(
+        "user_id",
+        F.unix_millis(F.col("session_start").cast("timestamp")).alias("s"),
+        F.unix_millis(F.col("session_end").cast("timestamp")).alias("e"),
+        "n_events",
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.user_id, r.s, r.e, r.n_events))
+    closed = set()
+    for sess in by_user.values():
+        sess.sort(key=lambda t: t[1])
+        closed.update(sess[:-1])  # every session but the user's last
+    assert streamed == closed and len(closed) > 0
