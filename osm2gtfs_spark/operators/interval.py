@@ -15,7 +15,7 @@ cell-ring spatial join (operators/spatial.knn_snap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,4 +51,33 @@ def range_join(
             (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
         )
         .drop("_bkt")
+    )
+
+
+def rolling_event_stats(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per event: count and value-sum of the SAME key's events inside
+    the trailing ``window_seconds`` (event time, inclusive) — the
+    sliding-window rate/feature signal (abuse velocity, per-user
+    activity features) as one RANGE-frame window.
+
+    RANGE (not ROWS) on millisecond epochs, so simultaneous events are
+    all in each other's frame regardless of tie order — deterministic
+    under any shuffle. Value sums are integer cents (round half-up ×100)
+    for cross-engine exactness. Partitioned by key: no global ordering,
+    skew bounded by the hottest key's event count."""
+    es = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(es)
+        .rangeBetween(-(window_seconds * 1000), 0)
+    )
+    return events.withColumn("n_window", F.count(F.lit(1)).over(w)).withColumn(
+        "sum_value_x100", F.sum(cents).over(w)
     )

@@ -2194,3 +2194,30 @@ def sessionize_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("session_end").cast("timestamp")).alias("end_ms"),
         "n_events",
     )
+
+
+@register(
+    "rolling_event_stats",
+    """
+    -- trailing 1-hour per-user sliding aggregates (RANGE frame over
+    -- millisecond epochs; inclusive window; integer cents)
+    WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS es,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id,
+           COUNT(*) OVER w AS n_window,
+           SUM(cents) OVER w AS sum_value_x100
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_event_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time aggregates (operators/interval
+    .rolling_event_stats): trailing-hour count + value sum per user,
+    one RANGE-frame window — ties share frames, so the result is
+    shuffle-order independent and hash-comparable."""
+    from osm2gtfs_spark.operators.interval import rolling_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_event_stats(ev).select("event_id", "n_window", "sum_value_x100")

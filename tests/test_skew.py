@@ -223,3 +223,27 @@ def test_cell_rollup_equals_direct(spark, sf_dir):
     )
     assert rolled.exceptAll(direct).count() == 0
     assert direct.exceptAll(rolled).count() == 0
+
+
+def test_rolling_event_stats_semantics(spark):
+    """RANGE-frame rolling stats: inclusive trailing window, ties share
+    frames, keys independent."""
+    import datetime as dt
+
+    from osm2gtfs_spark.operators.interval import rolling_event_stats
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 10, t0, 1.0),
+        (2, 10, t0 + dt.timedelta(minutes=30), 2.0),
+        (3, 10, t0 + dt.timedelta(minutes=61), 4.0),   # e1 out of window
+        (4, 10, t0 + dt.timedelta(minutes=61), 8.0),   # tie with e3
+        (5, 99, t0 + dt.timedelta(minutes=31), 16.0),  # other key
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: (r.n_window, r.sum_value_x100) for r in rolling_event_stats(df).collect()}
+    assert got[1] == (1, 100)
+    assert got[2] == (2, 300)
+    assert got[3] == (3, 1400)  # e2 + both tied events; e1 aged out
+    assert got[4] == (3, 1400)  # tie shares the identical frame
+    assert got[5] == (1, 1600)
