@@ -2221,3 +2221,25 @@ def rolling_event_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return rolling_event_stats(ev).select("event_id", "n_window", "sum_value_x100")
+
+
+@register(
+    "grouped_median",
+    """
+    -- exact lower median of document length per language: the
+    -- ceil(n/2)-th ascending value (no interpolation, integer-exact)
+    WITH r AS (SELECT lang, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY lang) AS n
+               FROM documents)
+    SELECT lang, n_chars AS median FROM r WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+    """,
+)
+def grouped_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (operators/aggregates.grouped_median):
+    order-statistic selection, deterministic under duplicate values —
+    the reproducible alternative to percentile_approx sketches."""
+    from osm2gtfs_spark.operators.aggregates import grouped_median
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return grouped_median(d.select("lang", "n_chars"), "lang", "n_chars")

@@ -36,6 +36,8 @@ GUARDED = {
     "url_canonical_filter": 0,
     "corpus_prep_pipeline": 0,
     "media_decode_meta_real": 1,
+    "sessionize_batch": 0,
+    "rolling_event_stats": 0,
 }
 
 

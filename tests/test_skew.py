@@ -247,3 +247,17 @@ def test_rolling_event_stats_semantics(spark):
     assert got[3] == (3, 1400)  # e2 + both tied events; e1 aged out
     assert got[4] == (3, 1400)  # tie shares the identical frame
     assert got[5] == (1, 1600)
+
+
+def test_grouped_median_exactness(spark):
+    """Lower-median selection: odd/even group sizes, duplicate values,
+    singleton groups."""
+    from osm2gtfs_spark.operators.aggregates import grouped_median
+
+    rows = [("a", v) for v in [5, 1, 3]]          # odd -> 3
+    rows += [("b", v) for v in [4, 1, 2, 9]]       # even -> lower middle 2
+    rows += [("c", v) for v in [7, 7, 7, 1]]       # dups -> 7
+    rows += [("d", 42)]                            # singleton -> 42
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r.median for r in grouped_median(df, "g", "v").collect()}
+    assert got == {"a": 3, "b": 2, "c": 7, "d": 42}
