@@ -499,3 +499,26 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     # the reliable checkpoint actually materialized RDD state on disk
     found = [f for _, _, fs in os.walk(ckdir) for f in fs]
     assert found, "no reliable checkpoint files written"
+
+
+def test_ann_over_quantized_embeddings_recall(emb):
+    """Composition guarantee: brute-force ANN over int8-dequantized
+    vectors recovers ≥0.8 of the exact float top-5 — the 4× posting
+    compression keeps retrieval usable, not just roundtrip-bounded."""
+    from pyspark.sql import functions as F
+
+    q = SIM.quantize_embeddings(emb)
+    deq = q.select(
+        "vec_id", SIM.dequantize(F.col("codes"), F.col("scale")).alias("embedding")
+    ).cache()
+    queries = deq.filter(F.col("vec_id") < 15)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(queries, deq, k=5).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(emb.filter(F.col("vec_id") < 15), emb, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"quantized ANN recall too low: {recall:.2f}"
