@@ -16,6 +16,15 @@ output_file), with two Spark-native substitutions:
   corresponding stage groups (the reference's pickle-cache refresh,
   core/cache.py) when the config carries a ``cache_dir``.
 
+Operational note for long backfills (ADVICE r4): operators that take a
+reliable ``checkpoint_dir`` (e.g. ``dedup.connected_components``) call
+``SparkContext.setCheckpointDir``, which is process-global and set-only
+— if no checkpoint dir existed before, the setting persists for later
+jobs on the same context. Spark also keeps superseded per-iteration
+checkpoint copies unless ``spark.cleaner.referenceTracking.
+cleanCheckpoints=true`` is set (or the directory is cleaned after the
+job).
+
 Selector resolution mirrors the creator factory
 (core/creator_factory.py:40-133): a selector with a dedicated plan
 module (gh_accra, ci_abidjan, br_florianopolis) dispatches to it;

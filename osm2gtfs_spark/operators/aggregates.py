@@ -24,7 +24,14 @@ def grouped_median(
     """(group, median): the exact LOWER median — the ceil(n/2)-th
     ascending value per group (for even n the smaller middle value; no
     interpolation, so integer columns stay integers and every engine
-    agrees bit-for-bit)."""
+    agrees bit-for-bit).
+
+    NULL values are excluded before ranking (ADVICE r4): Spark's asc
+    sorts NULLs FIRST while most SQL engines default NULLS LAST, so a
+    null-bearing column would otherwise shift the selected rank — and a
+    median over the non-null population is the standard aggregate
+    semantics anyway (COUNT/AVG ignore NULLs too)."""
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
     ranked = df.select(
         F.col(group_col),

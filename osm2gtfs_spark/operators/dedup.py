@@ -303,6 +303,21 @@ def connected_components(
         finally:
             if prev_dir is not None:
                 sc.setCheckpointDir(prev_dir)
+            else:
+                # setCheckpointDir is set-only: with no prior dir there is
+                # nothing to restore, so the setting LEAKS to later jobs on
+                # this context (ADVICE r4) — say so instead of hiding it
+                import warnings
+
+                warnings.warn(
+                    "connected_components: SparkContext had no checkpoint dir "
+                    f"before this call; {checkpoint_dir!r} remains the "
+                    "process-global checkpoint dir (setCheckpointDir cannot "
+                    "be unset). Superseded per-iteration checkpoints are not "
+                    "auto-deleted unless "
+                    "spark.cleaner.referenceTracking.cleanCheckpoints=true.",
+                    stacklevel=2,
+                )
     return _cc_run(
         pairs, id_a, id_b, max_iters, lambda df: df.localCheckpoint()
     )

@@ -17,8 +17,6 @@ import pytest
 
 from osm2gtfs_spark.plans import queries as Q
 
-SF = "/root/testdata/sf0.001"
-
 # query -> max sanctioned Python evals (only the media byte decoder
 # and the IVF Lloyd mapInPandas are allowed Python on the hot path)
 GUARDED = {
@@ -42,8 +40,8 @@ GUARDED = {
 
 
 @pytest.mark.parametrize("name", sorted(GUARDED))
-def test_plan_invariants(spark, name):
-    df = Q.queries()[name](spark, SF)
+def test_plan_invariants(spark, sf_dir, name):
+    df = Q.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan), name
     assert not re.search(

@@ -261,3 +261,18 @@ def test_grouped_median_exactness(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     got = {r.g: r.median for r in grouped_median(df, "g", "v").collect()}
     assert got == {"a": 3, "b": 2, "c": 7, "d": 42}
+
+
+def test_grouped_median_ignores_nulls(spark):
+    """NULL values are excluded before ranking (ADVICE r4): Spark sorts
+    NULLs first under asc, which would otherwise shift the selected rank
+    and could return a NULL median. The median is over the non-null
+    population; an all-NULL group emits no row (like AVG/COUNT-over-null
+    semantics)."""
+    from osm2gtfs_spark.operators.aggregates import grouped_median
+
+    rows = [("a", 5), ("a", None), ("a", 1), ("a", None), ("a", 3)]
+    rows += [("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r.median for r in grouped_median(df, "g", "v").collect()}
+    assert got == {"a": 3}  # nulls neither selected nor rank-shifting
