@@ -84,30 +84,52 @@ def _sessionize_fn(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Gap-based sessionizer: emits a session row whenever a >30 min gap
-    closes one. State = (start_ms, last_ms, n) of the open session."""
+    closes one. State = (start_ms, last_ms, n) of the open session.
+
+    Event-time timeout (VERDICT r4 item 3): when the watermark passes
+    an open session's gap horizon (last_ms + gap), the session is
+    emitted as final and its state row is REMOVED — state size is
+    bounded by the watermark horizon × active-user rate, never by the
+    lifetime user count (an idle user's last session used to sit in
+    state forever and was never emitted)."""
     (user_id,) = key
     rows = []
-    if state.exists:
+    if state.hasTimedOut:
+        # watermark passed last_ms + gap with no new events: the open
+        # session is final — emit it and drop the state row
         start_ms, last_ms, n = state.get
+        rows.append((user_id, start_ms, last_ms, n))
+        state.remove()
     else:
-        start_ms = last_ms = None
-        n = 0
-    ts_list: list[int] = []
-    for pdf in pdfs:
-        ts_list.extend(int(t.value // 10**6) for t in pd.to_datetime(pdf.ts))
-    for t in sorted(ts_list):
-        if start_ms is None:
-            start_ms = last_ms = t
-            n = 1
-        elif t - last_ms > SESSION_GAP_MS:
-            rows.append((user_id, start_ms, last_ms, n))
-            start_ms = last_ms = t
-            n = 1
+        if state.exists:
+            start_ms, last_ms, n = state.get
         else:
-            last_ms = t
-            n += 1
-    if start_ms is not None:
-        state.update((start_ms, last_ms, n))
+            start_ms = last_ms = None
+            n = 0
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 10**6) for t in pd.to_datetime(pdf.ts))
+        for t in sorted(ts_list):
+            if start_ms is None:
+                start_ms = last_ms = t
+                n = 1
+            elif t - last_ms > SESSION_GAP_MS:
+                rows.append((user_id, start_ms, last_ms, n))
+                start_ms = last_ms = t
+                n = 1
+            else:
+                last_ms = t
+                n += 1
+        if start_ms is not None:
+            wm = state.getCurrentWatermarkMs()
+            if wm > last_ms + SESSION_GAP_MS:
+                # the watermark already passed this session's horizon
+                # (late-but-admitted batch): it is final right now
+                rows.append((user_id, start_ms, last_ms, n))
+                state.remove()
+            else:
+                state.update((start_ms, last_ms, n))
+                state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
     if rows:
         yield pd.DataFrame(
             {
@@ -120,7 +142,9 @@ def _sessionize_fn(
 
 
 def sessionize(events: DataFrame) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState)."""
+    """Custom stateful streaming operator (applyInPandasWithState,
+    EventTimeTimeout): closed sessions emit in-batch; each open session
+    emits when the watermark passes its gap horizon, clearing state."""
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy("user_id")
@@ -129,7 +153,7 @@ def sessionize(events: DataFrame) -> DataFrame:
             outputStructType=_SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -211,10 +235,12 @@ def sessionize_batch(
     count of breaks, then one aggregate per (user, session).
 
     Returns (user_id, session_start, session_end, n_events) for ALL
-    sessions (the streaming operator emits only closed ones — the batch
-    result additionally contains each user's final open session, which
-    the equivalence test accounts for). Windows are partitioned by
-    user — no global ordering, scale-safe."""
+    sessions. The streaming twin emits gap-closed sessions in-batch and
+    each open session once the watermark passes its gap horizon
+    (EventTimeTimeout) — on a fully-drained bounded source the only
+    residual difference is sessions still inside the final watermark
+    horizon, which the equivalence test accounts for. Windows are
+    partitioned by user — no global ordering, scale-safe."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     # millisecond epochs — the SAME precision as the streaming
     # sessionizer's state (SESSION_GAP_MS), so batch and streaming agree

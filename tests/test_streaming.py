@@ -35,13 +35,17 @@ def test_sessionize_stateful(spark, sf_dir, tmp_path):
     sess = SE.sessionize(stream)
     SE.run_available_now(sess, "sessions", str(tmp_path / "ck2"))
     rows = spark.sql("SELECT * FROM sessions").collect()
-    # bounded single-batch input: only CLOSED sessions are emitted
-    # (the trailing open session per user stays in state)
-    assert rows, "expected closed sessions"
+    # gap-closed sessions emit in-batch; final sessions emit via
+    # EventTimeTimeout once the watermark passes their gap horizon
+    assert rows, "expected sessions"
     for r in rows:
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
-    # verify one user's sessions against a pandas recompute
+    # verify one user's sessions against a pandas recompute: >30min gaps
+    # close sessions; the final session additionally emits iff the
+    # stream's final watermark (max ts - 2h) passed its gap horizon
+    import pandas as pd
+
     pdf = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter(F.col("user_id") == rows[0].user_id)
@@ -50,8 +54,72 @@ def test_sessionize_stateful(spark, sf_dir, tmp_path):
     )
     gaps = pdf.ts.diff().dt.total_seconds().fillna(0)
     n_breaks = int((gaps > 1800).sum())
+    wm_ms = (
+        int(pd.Timestamp(spark.read.parquet(f"{sf_dir}/events.parquet")
+                         .agg(F.max("ts")).first()[0]).value // 10**6)
+        - 2 * 3600 * 1000
+    )
+    last_ms = int(pdf.ts.iloc[-1].value // 10**6)
+    want = n_breaks + (1 if last_ms + 1800 * 1000 < wm_ms else 0)
     got_user = [r for r in rows if r.user_id == rows[0].user_id]
-    assert len(got_user) == n_breaks, "closed sessions = number of >30min gaps"
+    assert len(got_user) == want, "gap-closed sessions + expired final"
+
+
+def test_sessionize_idle_user_times_out(spark, tmp_path):
+    """VERDICT r4 item 3: an idle user's open session must be emitted
+    once the watermark passes its gap horizon, and the state row must
+    be gone — a user who stops sending events no longer leaks state.
+
+    Three single-file micro-batches (maxFilesPerTrigger=1): user 1 has
+    two events then goes idle; user 2's later events advance the
+    watermark past user 1's horizon, so the timeout fires during a DATA
+    batch (not relying on a trailing no-data batch). User 1's next
+    event after the timeout must start a FRESH session (state was
+    removed, not resumed)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "t", 0.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "src")
+    # file 1: user 1's session (2 events, 10 min apart)
+    spark.createDataFrame([ev(1, 1, 0), ev(2, 1, 10)], schema).coalesce(1).write.parquet(src)
+    # file 2: user 2 far in the future -> watermark jumps to ~+5h-2h=+3h,
+    # past user 1's horizon (+40min): timeout fires in batch 3
+    spark.createDataFrame([ev(3, 2, 300)], schema).coalesce(1).write.mode("append").parquet(src)
+    # file 3: user 2 again (a data batch where the timeout processes) and
+    # user 1 returns at +6h — must open a FRESH session
+    spark.createDataFrame([ev(4, 2, 310), ev(5, 1, 360)], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SE.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = SE.sessionize(stream)
+    SE.run_available_now(out, "idle_sessions", str(tmp_path / "ck_idle"))
+    rows = spark.sql("SELECT * FROM idle_sessions ORDER BY user_id, session_start").collect()
+    u1 = [r for r in rows if r.user_id == 1]
+    # exactly ONE emission of the idle session (start t0, end t0+10min,
+    # 2 events): emitted by timeout, never re-emitted, state cleared
+    assert [
+        (int(pd.Timestamp(r.session_start).value // 10**6),
+         int(pd.Timestamp(r.session_end).value // 10**6), r.n_events)
+        for r in u1
+    ] == [
+        (int(pd.Timestamp(t0).value // 10**6),
+         int(pd.Timestamp(t0 + dt.timedelta(minutes=10)).value // 10**6), 2)
+    ], rows
+    # user 1's return event sits in a fresh OPEN session (within the
+    # final watermark horizon) -> not emitted; had state leaked, the old
+    # session would have resumed and nothing would have been emitted
+    assert all(r.n_events != 3 for r in u1)
 
 
 def test_tile_coverage_stream_matches_batch(spark, sf_dir, tmp_path):
@@ -113,13 +181,20 @@ def test_dedup_stream_drops_replays(spark, sf_dir, tmp_path):
 
 def test_sessionize_batch_matches_streaming_closed_sessions(spark, sf_dir, tmp_path):
     """The batch sessionizer and the stateful streaming sessionizer are
-    the SAME semantics at the same (millisecond) precision: the
-    streaming drain's closed sessions equal the batch result minus each
-    user's final (still-open) session."""
+    the SAME semantics at the same (millisecond) precision: on a fully
+    drained bounded source the streaming result equals the batch result
+    minus only those final sessions still inside the last watermark's
+    gap horizon (everything else — gap-closed sessions in-batch, expired
+    finals via EventTimeTimeout — must be emitted)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from osm2gtfs_spark.streaming.events import sessionize, sessionize_batch, stream_events
+    from osm2gtfs_spark.streaming.events import (
+        SESSION_GAP_MS,
+        sessionize,
+        sessionize_batch,
+        stream_events,
+    )
 
     out = sessionize(stream_events(spark, sf_dir))
     q = (
@@ -137,7 +212,9 @@ def test_sessionize_batch_matches_streaming_closed_sessions(spark, sf_dir, tmp_p
         for r in spark.sql("SELECT * FROM sessions_equiv").collect()
     }
 
-    batch = sessionize_batch(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wm_ms = int(pd.Timestamp(ev.agg(F.max("ts")).first()[0]).value // 10**6) - 2 * 3600 * 1000
+    batch = sessionize_batch(ev)
     rows = batch.select(
         "user_id",
         F.unix_millis(F.col("session_start").cast("timestamp")).alias("s"),
@@ -147,8 +224,14 @@ def test_sessionize_batch_matches_streaming_closed_sessions(spark, sf_dir, tmp_p
     by_user: dict[int, list] = {}
     for r in rows:
         by_user.setdefault(r.user_id, []).append((r.user_id, r.s, r.e, r.n_events))
-    closed = set()
+    want = set()
+    n_expired_finals = 0
     for sess in by_user.values():
         sess.sort(key=lambda t: t[1])
-        closed.update(sess[:-1])  # every session but the user's last
-    assert streamed == closed and len(closed) > 0
+        want.update(sess[:-1])  # gap-closed in-batch
+        last = sess[-1]
+        if last[2] + SESSION_GAP_MS < wm_ms:  # final emitted via timeout
+            want.add(last)
+            n_expired_finals += 1
+    assert streamed == want and len(want) > 0
+    assert n_expired_finals > 0, "fixture must exercise the timeout path"
