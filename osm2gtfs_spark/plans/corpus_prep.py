@@ -3,11 +3,12 @@ pipeline actually ships, built from the individually-gated operators.
 
     quality filter → near-dup keeper selection → benchmark
     decontamination → PII scrub
+    (→ duplicated-span scrub → sequence packing, the packed variant)
 
 Every stage is deterministic and oracle-reproducible (the
-``corpus_prep_pipeline`` gate query replays the whole chain in DuckDB,
-recursive-CTE closure included), so the composition is value-checked
-end-to-end, not just per stage.
+``corpus_prep_pipeline`` / ``corpus_prep_packed`` gate queries replay
+the whole chain in DuckDB, recursive-CTE closure included), so the
+composition is value-checked end-to-end, not just per stage.
 
 Scale shape: each stage consumes only ids + the columns it needs;
 the dedup closure runs on the quality-surviving subset (smaller
@@ -95,3 +96,52 @@ def prepare_corpus(
         deduped = deduped.join(contaminated, "doc_id", "left_anti")
 
     return TXT.pii_scrub(deduped)
+
+
+def prepare_corpus_packed(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    overlap_threshold: int = 10,
+    decontaminate_n: int = 3,
+    max_shingle_docs: int | None = 15,
+    span_n: int = 8,
+    span_min_occurrences: int = 2,
+    budget: int = 2048,
+    n_buckets: int = 32,
+    persist: bool = True,
+) -> DataFrame:
+    """docs → packed training sequences: :func:`prepare_corpus` followed
+    by duplicated-span scrubbing and GPT-style sequence packing — the
+    artifact a training job actually reads (VERDICT r4 item 7).
+
+    Output: one row per (surviving doc × chunk it overlaps) —
+    (doc_id, bucket, chunk_id, doc_tok_start, doc_tok_end,
+    chunk_tok_start), chunked at ``budget`` tokens over the
+    span-scrubbed clean text (docs scrubbed to empty emit nothing).
+
+    Scale shape: the three appended stages are a linear chain, each
+    consuming the previous stage's output exactly once — no new persist
+    boundary beyond :func:`prepare_corpus`'s internal ones. The span
+    scrub adds its two corpus shuffles (distinct-window hash, doc id);
+    packing adds the bucket-local running-offset window. Nothing here
+    is corpus×corpus."""
+    from osm2gtfs_spark.operators import corpus_index as CI
+    from osm2gtfs_spark.operators.dedup import duplicated_span_scrub
+
+    prepped = prepare_corpus(
+        docs,
+        benchmark=benchmark,
+        overlap_threshold=overlap_threshold,
+        decontaminate_n=decontaminate_n,
+        max_shingle_docs=max_shingle_docs,
+        persist=persist,
+    )
+    scrubbed = duplicated_span_scrub(
+        prepped.select("doc_id", "text_clean"),
+        text_col="text_clean",
+        n=span_n,
+        min_occurrences=span_min_occurrences,
+    )
+    return CI.pack_sequences(
+        scrubbed, budget=budget, n_buckets=n_buckets, text_col="text_clean"
+    )

@@ -2015,16 +2015,14 @@ _EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IP_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
-@register(
-    "corpus_prep_pipeline",
-    f"""
-    -- END-TO-END corpus preparation: quality filter -> token-set
-    -- near-dup keeper (recursive-CTE transitive closure) -> benchmark
-    -- decontamination (eval = doc_id < 20; >=5 shared distinct 3-grams
-    -- drops the doc, so verbatim eval members self-evict) -> PII scrub.
-    -- The whole chain is value-checked as ONE query.
-    WITH RECURSIVE
-    toks AS (SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS t FROM documents),
+def _prep_cte_chain(src: str) -> str:
+    """The corpus-prep oracle CTE chain (quality filter → token-set
+    near-dup keeper via recursive closure → benchmark decontamination)
+    over source table/CTE ``src``, ending in ``fin(doc_id, text)``.
+    Shared by corpus_prep_pipeline and corpus_prep_packed so the two
+    composition oracles cannot drift."""
+    return f"""
+    toks AS (SELECT doc_id, length(text) AS chars, string_split(text, ' ') AS t FROM {src}),
     g AS (SELECT doc_id,
                  UNNEST(list_transform(range(1, GREATEST(LEN(t) - 1, 1) + 1),
                                        i -> concat_ws(' ', t[i], t[i + 1]))) AS g
@@ -2039,7 +2037,7 @@ _IP_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
               WHERE tk.n_tok BETWEEN 30 AND 80 AND rep.rep_permille < 300
                 AND tk.mwl_x100 BETWEEN 250 AND 700),
     s AS (SELECT d.doc_id, list_sort(list_distinct(string_split(d.text, ' '))) AS ts
-          FROM documents d JOIN keepq USING (doc_id)),
+          FROM {src} d JOIN keepq USING (doc_id)),
     e AS (SELECT a.doc_id AS src, b.doc_id AS dst
           FROM s a JOIN s b ON a.ts = b.ts AND a.doc_id <> b.doc_id),
     reach(src, dst) AS (
@@ -2048,16 +2046,28 @@ _IP_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
       SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
     comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
              FROM reach GROUP BY src),
-    dedup AS (SELECT d.doc_id, d.text FROM documents d JOIN keepq USING (doc_id)
+    dedup AS (SELECT d.doc_id, d.text FROM {src} d JOIN keepq USING (doc_id)
               WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)),
     b AS (SELECT doc_id AS bid, UNNEST({DD.shingles_sql('text', 3)}) AS sh
-          FROM documents WHERE doc_id < 20),
+          FROM {src} WHERE doc_id < 20),
     keepable AS (SELECT sh FROM b GROUP BY sh HAVING COUNT(DISTINCT bid) <= 15),
     bs AS (SELECT DISTINCT b.sh FROM b JOIN keepable kk ON b.sh = kk.sh),
     cs AS (SELECT dd.doc_id, UNNEST({DD.shingles_sql('dd.text', 3)}) AS sh FROM dedup dd),
     cont AS (SELECT cs.doc_id FROM cs JOIN bs ON cs.sh = bs.sh
              GROUP BY cs.doc_id HAVING COUNT(DISTINCT cs.sh) >= 5),
-    fin AS (SELECT doc_id, text FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+    fin AS (SELECT doc_id, text FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM cont))"""
+
+
+@register(
+    "corpus_prep_pipeline",
+    f"""
+    -- END-TO-END corpus preparation: quality filter -> token-set
+    -- near-dup keeper (recursive-CTE transitive closure) -> benchmark
+    -- decontamination (eval = doc_id < 20; >=5 shared distinct 3-grams
+    -- drops the doc, so verbatim eval members self-evict) -> PII scrub.
+    -- The whole chain is value-checked as ONE query.
+    WITH RECURSIVE
+    {_prep_cte_chain('documents')}
     SELECT doc_id,
            CAST(LEN(regexp_extract_all(text, '{_EMAIL_SQL}')) AS BIGINT) AS n_emails,
            CAST(LEN(regexp_extract_all(
@@ -2321,3 +2331,80 @@ def corpus_stats_artifact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tpch.load(spark, sf_dir, "documents")
     return CI.build_corpus_stats(d)
+
+
+@register(
+    "corpus_prep_packed",
+    f"""
+    -- the FULL pretraining chain ending in the artifact a training job
+    -- reads: quality -> near-dup keeper -> decontamination -> PII scrub
+    -- -> duplicated-span scrub -> sequence packing (budget 64, 8
+    -- buckets). Input is boilerplate-seeded (every 4th doc a shared
+    -- 8-token tail, every 7th a doubled tail) so the span-scrub stage
+    -- does real work inside the composition; one DuckDB replay
+    -- value-checks every (doc x chunk) segment.
+    WITH RECURSIVE
+    base AS (SELECT doc_id,
+        text || (CASE WHEN doc_id % 4 = 0 THEN ' {_BOILER}' ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN ' {_BOILER} {_BOILER}' ELSE '' END) AS text
+      FROM documents),
+    {{prep}},
+    pii AS (SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{{email}}', '<EMAIL>', 'g'),
+                                  '{{ip}}', '<IP>', 'g') AS text
+            FROM fin),
+    ptok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM pii),
+    psh AS (SELECT tk.doc_id, u.i - 1 AS pos,
+                   md5(array_to_string(list_slice(tk.toks, u.i, u.i + 7), ' ')) AS h
+            FROM ptok tk, UNNEST(range(1, LEN(tk.toks) - 6)) AS u(i)),
+    pdup AS (SELECT h FROM psh GROUP BY h HAVING COUNT(*) >= 2),
+    pcov AS (SELECT DISTINCT ps.doc_id, ps.pos + o.o AS tpos
+             FROM psh ps JOIN pdup USING (h), UNNEST(range(0, 8)) AS o(o)),
+    posed AS (SELECT tk.doc_id, u.i AS ti, tk.toks[u.i] AS w
+              FROM ptok tk, UNNEST(range(1, LEN(tk.toks) + 1)) AS u(i)),
+    kept AS (SELECT p.doc_id, p.ti, p.w FROM posed p
+             LEFT JOIN pcov cv ON cv.doc_id = p.doc_id AND cv.tpos = p.ti - 1
+             WHERE cv.tpos IS NULL),
+    clean AS (SELECT doc_id, string_agg(w, ' ' ORDER BY ti) AS text
+              FROM kept GROUP BY doc_id),
+    dl AS (SELECT doc_id,
+                  CAST(LEN(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS dl
+           FROM clean),
+    nz AS (SELECT doc_id, dl, CAST(doc_id % 8 AS INT) AS bucket FROM dl WHERE dl > 0),
+    placed AS (SELECT doc_id, bucket, dl,
+                      COALESCE(SUM(dl) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s2
+               FROM nz),
+    seg AS (SELECT doc_id, bucket, s2, s2 + dl AS e2,
+                   UNNEST(range(CAST(s2 // 64 AS BIGINT), CAST((s2 + dl - 1) // 64 + 1 AS BIGINT))) AS chunk_id
+            FROM placed)
+    SELECT doc_id, bucket, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(s2, chunk_id * 64) - s2 AS BIGINT) AS doc_tok_start,
+           CAST(LEAST(e2, (chunk_id + 1) * 64) - s2 AS BIGINT) AS doc_tok_end,
+           CAST(GREATEST(s2, chunk_id * 64) - chunk_id * 64 AS BIGINT) AS chunk_tok_start
+    FROM seg
+    """.format(prep=_prep_cte_chain("base"), email=_EMAIL_SQL, ip=_IP_SQL),
+)
+def corpus_prep_packed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed pretraining composition (plans/corpus_prep
+    .prepare_corpus_packed): the corpus_prep_pipeline chain extended
+    with duplicated-span scrubbing and GPT-style sequence packing, so
+    the gate certifies the artifact a training job actually reads
+    (VERDICT r4 item 7). Input is boilerplate-seeded exactly like
+    dup_span_scrub so the scrub stage is exercised, not vacuous."""
+    from osm2gtfs_spark.plans.corpus_prep import prepare_corpus_packed
+
+    d = tpch.load(spark, sf_dir, "documents")
+    b = F.lit(_BOILER)
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(" "), b)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" "), b, F.lit(" "), b)).otherwise(F.lit("")),
+        ).alias("text"),
+    ).persist()
+    bench = synth.filter(F.col("doc_id") < 20)
+    return prepare_corpus_packed(
+        synth, benchmark=bench, overlap_threshold=5, budget=64, n_buckets=8
+    )

@@ -33,10 +33,17 @@ GUARDED = {
     "incremental_dedup": 0,
     "url_canonical_filter": 0,
     "corpus_prep_pipeline": 0,
+    "corpus_prep_packed": 0,
+    "corpus_stats_artifact": 0,
     "media_decode_meta_real": 1,
     "sessionize_batch": 0,
     "rolling_event_stats": 0,
 }
+
+# queries whose plan legitimately carries a SinglePartition exchange:
+# a global 1-row aggregate's final step merges ONE partial-agg row per
+# partition — bounded metadata, not a data-carrying single reducer
+ALLOW_SINGLE_PARTITION = {"corpus_stats_artifact"}
 
 
 @pytest.mark.parametrize("name", sorted(GUARDED))
@@ -44,9 +51,10 @@ def test_plan_invariants(spark, sf_dir, name):
     df = Q.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"CartesianProduct|BroadcastNestedLoop", plan), name
-    assert not re.search(
-        r"Exchange SinglePartition|Arguments: SinglePartition", plan
-    ), name
+    if name not in ALLOW_SINGLE_PARTITION:
+        assert not re.search(
+            r"Exchange SinglePartition|Arguments: SinglePartition", plan
+        ), name
     n_py = len(
         re.findall(
             r"(BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas)",
