@@ -60,6 +60,39 @@ def main() -> None:
             reps.append(round(time.time() - t0, 3))
         timings[name] = sorted(reps)[1]
 
+    # ANN recall@5 on record (VERDICT r4 item 6): for the similarity
+    # family recall is the second correctness axis — both approximate
+    # paths measured against the brute-force truth on the raw corpus
+    # (tests assert >=0.5 LSH / >=0.6 IVF; typical ~0.8 here)
+    from pyspark.sql import functions as F
+
+    from osm2gtfs_spark.operators import similarity as SIM
+    from osm2gtfs_spark.sources import tpch
+
+    emb = tpch.load(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    qv = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_bruteforce(qv, emb, k=5).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_lsh(qv, emb, dim=64, k=5)
+        .select("query_id", "neighbor_id").collect()
+    }
+    cents = SIM.ivf_centroids(emb, n_cells=8, iters=3)
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk_ivf(qv, emb, cents, k=5, nprobe=3)
+        .select("query_id", "neighbor_id").collect()
+    }
+    recall = {
+        "ann_lsh_recall_at5": round(len(lsh & brute) / len(brute), 3),
+        "ann_ivf_recall_at5": round(len(ivf & brute) / len(brute), 3),
+    }
+    emb.unpersist()
+
     # transit pipeline throughput (the BASELINE.json metric numerator:
     # GTFS rows + tile assignments per second)
     from osm2gtfs_spark.operators.spatial import tile_coverage
@@ -171,8 +204,6 @@ def main() -> None:
     # AvailableNow vs the equivalent batch groupBy on the bounded input —
     # batch-equivalence of the results is asserted in tests; the wall
     # times here put the streaming overhead on the per-round record
-    from pyspark.sql import functions as F
-
     from osm2gtfs_spark.functions.geo import cell_id
     from osm2gtfs_spark.streaming import events as SE
 
@@ -229,6 +260,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **recall,
+                # min-of-5 alongside the median (VERDICT r4 item 8): the
+                # box throws 2-3x host-interference outliers; the min is
+                # the cleanest engine-attributable number, the median the
+                # conservative record — report both so round-over-round
+                # comparison stops riding outliers
+                "gtfs_pipeline_min": min(samples),
                 "gtfs_pipeline_samples": samples,
                 "gtfs_schedule_samples": sched_samples,
                 "gtfs_schedule_rows": sched_rows,
