@@ -95,6 +95,22 @@ def cell_parent(cell, res_from: int, res_to: int) -> Column:
     )
 
 
+def cell_parent_sql(cell_expr: str, res_from: int, res_to: int) -> str:
+    """The identical parent re-encoding as an ANSI SQL string (oracle).
+
+    Integer-only: decompose id → (ix, iy), floor-divide each axis by
+    2^(res_from−res_to), re-encode at res_to."""
+    if res_to > res_from:
+        raise ValueError("parent resolution must be coarser")
+    shift = 2 ** (res_from - res_to)
+    c = f"(({cell_expr}) - {res_from} * {_RES_SHIFT})"
+    return (
+        f"({res_to} * {_RES_SHIFT}"
+        f" + (({c} // {_IX_SHIFT}) // {shift}) * {_IX_SHIFT}"
+        f" + (({c} % {_IX_SHIFT}) // {shift}))"
+    )
+
+
 def cell_ring(cell, res: int, k: int = 1) -> Column:
     """Array of cell ids within Chebyshev distance ``k`` (incl. self).
 
@@ -124,6 +140,67 @@ def cell_ring(cell, res: int, k: int = 1) -> Column:
         )
     )
     return F.array_distinct(F.filter(ring, lambda x: x.isNotNull()))
+
+
+# Morton (Z-order) interleave: spread the bits of a 26-bit coordinate
+# into the even bit positions of a 52-bit word via the standard
+# shift-or-mask ladder, then weave x into odd / y into even positions.
+# The resulting key linearizes the grid along the Z-curve: cells close
+# on the curve are close on the globe, so range-partitioning or sorting
+# by Morton key gives spatial locality for scans, co-located joins and
+# file clustering — the role H3's hierarchical id / S2's Hilbert
+# position plays. Pure codegen integer math; parent-at-coarser-res is
+# one shift (mz >> 2 per level).
+_SPREAD_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+def _spread_bits(x: Column) -> Column:
+    for sh, mask in _SPREAD_MASKS:
+        x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_key(lat, lon, res: int) -> Column:
+    """Z-order key at ``res``: x bits in odd, y bits in even positions.
+
+    Keys at the same resolution sort along the Z-curve; the parent key
+    at resolution ``r-k`` is ``morton >> 2k``, so one key supports both
+    locality-preserving layout AND hierarchical prefix pruning."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    return (
+        F.shiftleft(_spread_bits(cell_ix(lon, res)), 1)
+        .bitwiseOR(_spread_bits(cell_iy(lat, res)))
+        .alias(f"morton_r{res}")
+    )
+
+
+def _spread_bits_sql(expr: str) -> str:
+    for sh, mask in _SPREAD_MASKS:
+        expr = f"(({expr} | ({expr} << {sh})) & {mask})"
+    return expr
+
+
+def morton_from_ixiy_sql(ix_expr: str, iy_expr: str) -> str:
+    """Morton key from already-computed integer grid coords (SQL).
+
+    The spread ladder substitutes its operand 2^5 times — pass short
+    column refs (compute ix/iy in a prior CTE), not full formulas."""
+    return f"(({_spread_bits_sql(ix_expr)} << 1) | {_spread_bits_sql(iy_expr)})"
+
+
+def cell_ixiy_sql(lat_expr: str, lon_expr: str, res: int) -> tuple[str, str]:
+    """The (ix, iy) grid-coordinate formulas as ANSI SQL strings."""
+    n = 2**res
+    ix = f"LEAST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0) AS BIGINT), {n - 1})"
+    iy = f"LEAST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}.0) AS BIGINT), {n - 1})"
+    return ix, iy
 
 
 # transitfeed's ApproximateDistance radius — its time interpolation and

@@ -339,3 +339,117 @@ def point_in_polygon_winding_sql(
             f" / {lat2 - lat1!r} + {lon1!r}) THEN 1 ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+def polyline_cell_coverage(
+    segments: DataFrame,
+    res: int,
+    id_col: str = "seg_id",
+    lat1: str = "lat1",
+    lon1: str = "lon1",
+    lat2: str = "lat2",
+    lon2: str = "lon2",
+    oversample: int = 2,
+    max_steps: int = 4096,
+) -> DataFrame:
+    """Vector→raster for polylines: the distinct grid cells each segment
+    crosses — the line-rasterization half of the north rule's
+    raster↔vector tile assignment (shapes/route geometries → coverage
+    cells; the point half is :func:`tile_coverage`).
+
+    Sampling dialect (deterministic, oracle-identical): a segment is
+    sampled at n_steps+1 evenly spaced points where n_steps =
+    min(max_steps, max(1, ceil(chebyshev length in cells) · oversample));
+    covered cells = distinct cell ids of the samples. With the default
+    2× oversampling every cell the segment crosses for at least half a
+    cell width is hit (brief corner clips can be skipped — a documented
+    approximation, standard for coverage maps; raise ``oversample`` to
+    tighten). All arithmetic is shared-IEEE double ops, so the DuckDB
+    replay is bit-identical.
+
+    Scale shape: per-segment fanout is O(length in cells), hard-capped
+    at ``max_steps`` (an antimeridian-length segment cannot explode a
+    task); explode → project cell → distinct, one shuffle keyed by
+    (segment, cell) with map-side combine. No joins, no window."""
+    n = 2**res
+    seg = segments.select(
+        F.col(id_col),
+        F.col(lat1).cast("double").alias("_a1"),
+        F.col(lon1).cast("double").alias("_o1"),
+        F.col(lat2).cast("double").alias("_a2"),
+        F.col(lon2).cast("double").alias("_o2"),
+    )
+    chebyshev_cells = F.greatest(
+        F.abs(F.col("_o2") - F.col("_o1")) / F.lit(360.0) * F.lit(float(n)),
+        F.abs(F.col("_a2") - F.col("_a1")) / F.lit(180.0) * F.lit(float(n)),
+    )
+    n_steps = F.least(
+        F.lit(max_steps).cast("long"),
+        F.greatest(F.lit(1).cast("long"), F.ceil(chebyshev_cells) * oversample),
+    )
+    sampled = seg.withColumn("_ns", n_steps).select(
+        id_col,
+        "_a1",
+        "_o1",
+        "_a2",
+        "_o2",
+        "_ns",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_ns"))).alias("_j"),
+    )
+    t = F.col("_j").cast("double") / F.col("_ns").cast("double")
+    lat = F.col("_a1") + (F.col("_a2") - F.col("_a1")) * t
+    lon = F.col("_o1") + (F.col("_o2") - F.col("_o1")) * t
+    return (
+        sampled.select(F.col(id_col), cell_id(lat, lon, res).alias("cell_id"))
+        .distinct()
+    )
+
+
+def cell_compact(
+    cells: DataFrame,
+    res_from: int,
+    res_to: int,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """H3-style compaction of an occupied-cell set: wherever all 4
+    children of a parent cell are occupied, the quartet is replaced by
+    the parent, recursively from ``res_from`` down to ``res_to`` —
+    the minimal mixed-resolution covering of a coverage map (smaller
+    tile indexes, coarser pruning keys for dense regions).
+
+    Output: (cell_id, cell_res) — the compacted set; union over levels.
+
+    Scale shape: a fixed driver-side loop of (res_from − res_to)
+    levels; each level is ONE groupBy(parent) count over the CURRENT
+    level's cells only (shrinking 4× per promoted level) plus an
+    anti join against the promoted-parent set — left unhinted: the
+    promoted set can be up to 1/4 of the level on dense maps, so AQE
+    picks broadcast only when it actually fits. No iteration-dependent
+    lineage growth (each level's plan depth is constant and level
+    count is ≤ MAX_RES, known at plan time)."""
+    if res_to >= res_from:
+        raise ValueError("res_to must be coarser (smaller) than res_from")
+    cur = cells.select(F.col(cell_col).alias("cell_id")).distinct()
+    out_levels: list[DataFrame] = []
+    for r in range(res_from, res_to, -1):
+        parent = cell_parent(F.col("cell_id"), r, r - 1).alias("_parent")
+        promoted = (
+            cur.select(parent)
+            .groupBy("_parent")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == 4)
+            .select("_parent")
+        )
+        kept = (
+            cur.withColumn("_parent", parent)
+            .join(promoted, "_parent", "left_anti")
+            .select("cell_id")
+            .withColumn("cell_res", F.lit(r))
+        )
+        out_levels.append(kept)
+        cur = promoted.select(F.col("_parent").alias("cell_id"))
+    out_levels.append(cur.withColumn("cell_res", F.lit(res_to)))
+    result = out_levels[0]
+    for lvl in out_levels[1:]:
+        result = result.unionByName(lvl)
+    return result

@@ -2408,3 +2408,115 @@ def corpus_prep_packed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus_packed(
         synth, benchmark=bench, overlap_threshold=5, budget=64, n_buckets=8
     )
+
+
+from osm2gtfs_spark.functions.geo import (  # noqa: E402
+    cell_ixiy_sql as _cell_ixiy_sql,
+    cell_parent_sql as _cell_parent_sql,
+    morton_from_ixiy_sql as _morton_sql,
+)
+
+_MZ_IX, _MZ_IY = _cell_ixiy_sql("lat", "lon", 12)
+
+
+@register(
+    "morton_cell_encode",
+    f"""
+    -- Z-order (Morton) spatial sort key at res 12 + its res-10 prefix
+    -- parent (mz >> 4): the locality-preserving layout / clustering key
+    -- (the role of H3 hierarchical ids); bit-exact shift/mask ladder
+    WITH s AS ({tpch.STOPS_SQL}),
+    xy AS (SELECT stop_key, {_MZ_IX} AS ix, {_MZ_IY} AS iy FROM s),
+    m AS (SELECT stop_key, {_morton_sql('ix', 'iy')} AS mz FROM xy)
+    SELECT stop_key, mz, mz >> 4 AS mz_parent
+    FROM m
+    """,
+)
+def morton_cell_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleaved cell key (functions/geo.morton_key):
+    sorting / range-partitioning by this key gives spatial locality for
+    scans and co-located joins; the res-10 parent is a 4-bit shift of
+    the same key (hierarchical prefix pruning). Pure codegen bit math,
+    value-checked against the oracle's shift/mask replay."""
+    from osm2gtfs_spark.functions.geo import morton_key
+
+    s = tpch.stops(spark, sf_dir)
+    mz = morton_key("lat", "lon", 12)
+    return s.select(
+        "stop_key", mz.alias("mz"), F.shiftright(mz, 4).alias("mz_parent")
+    )
+
+
+@register(
+    "polyline_cell_coverage",
+    f"""
+    -- vector->raster line rasterization: distinct covered cells per
+    -- segment at res 8 (sampling dialect: 2x oversampled Chebyshev
+    -- steps, capped; identical IEEE arithmetic both engines)
+    WITH s AS ({tpch.STOPS_SQL}),
+    seg AS (SELECT a.stop_key AS seg_id, a.lat AS a1, a.lon AS o1,
+                   b.lat AS a2, b.lon AS o2
+            FROM s a JOIN s b ON b.stop_key = a.stop_key + 1),
+    st AS (SELECT seg_id, a1, o1, a2, o2,
+                  LEAST(4096, GREATEST(1,
+                    CAST(CEIL(GREATEST(ABS(o2 - o1) / 360.0 * 256.0,
+                                       ABS(a2 - a1) / 180.0 * 256.0)) AS BIGINT) * 2)) AS ns
+           FROM seg),
+    pts AS (SELECT seg_id,
+                   a1 + (a2 - a1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lat,
+                   o1 + (o2 - o1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lon
+            FROM st, UNNEST(range(0, ns + 1)) AS u(j))
+    SELECT DISTINCT seg_id, {cell_id_sql('lat', 'lon', 8)} AS cell_id FROM pts
+    """,
+)
+def polyline_cell_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line rasterization (operators/spatial.polyline_cell_coverage):
+    route-geometry segments -> the grid cells they cross — the shapes
+    half of the north rule's raster↔vector tile assignment. Segments
+    are synthesized as consecutive-stop pairs; fanout is bounded per
+    segment and the whole plan is explode → cell encode → distinct."""
+    from osm2gtfs_spark.operators.spatial import polyline_cell_coverage
+
+    s = tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon")
+    a = s.select(F.col("stop_key").alias("seg_id"), F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
+    bb = s.select((F.col("stop_key") - 1).alias("seg_id"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
+    seg = a.join(bb, "seg_id")
+    return polyline_cell_coverage(seg, res=8)
+
+
+@register(
+    "cell_compact",
+    f"""
+    -- H3-style compaction of the occupied-cell set at res 5 down to
+    -- res 3: complete 4-child quartets collapse into their parent,
+    -- recursively — the minimal mixed-resolution covering
+    WITH s AS ({tpch.STOPS_SQL}),
+    c5 AS (SELECT DISTINCT {cell_id_sql('lat', 'lon', 5)} AS cell_id FROM s),
+    g4 AS (SELECT {_cell_parent_sql('cell_id', 5, 4)} AS parent, COUNT(*) AS n
+           FROM c5 GROUP BY 1),
+    pr4 AS (SELECT parent FROM g4 WHERE n = 4),
+    k5 AS (SELECT cell_id, 5 AS cell_res FROM c5
+           WHERE {_cell_parent_sql('cell_id', 5, 4)} NOT IN (SELECT parent FROM pr4)),
+    c4 AS (SELECT parent AS cell_id FROM pr4),
+    g3 AS (SELECT {_cell_parent_sql('cell_id', 4, 3)} AS parent, COUNT(*) AS n
+           FROM c4 GROUP BY 1),
+    pr3 AS (SELECT parent FROM g3 WHERE n = 4),
+    k4 AS (SELECT cell_id, 4 AS cell_res FROM c4
+           WHERE {_cell_parent_sql('cell_id', 4, 3)} NOT IN (SELECT parent FROM pr3)),
+    c3 AS (SELECT parent AS cell_id, 3 AS cell_res FROM pr3)
+    SELECT cell_id, cell_res FROM k5
+    UNION ALL SELECT cell_id, cell_res FROM k4
+    UNION ALL SELECT cell_id, cell_res FROM c3
+    """,
+)
+def cell_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell compaction (operators/spatial.cell_compact):
+    the coverage map's minimal mixed-resolution covering — dense urban
+    quartets collapse to coarser tiles, sparse cells stay fine. One
+    shrinking aggregation per level, fixed plan depth."""
+    from osm2gtfs_spark.operators.spatial import cell_compact
+    from osm2gtfs_spark.functions.geo import cell_id as _cid
+
+    s = tpch.stops(spark, sf_dir)
+    occupied = s.select(_cid("lat", "lon", 5).alias("cell_id"))
+    return cell_compact(occupied, res_from=5, res_to=3)
