@@ -42,3 +42,69 @@ def grouped_median(
     return ranked.filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2)).select(
         group_col, F.col(value_col).alias("median")
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """(group, q, value): exact per-group empirical quantiles at the
+    given PERCENT points — for q the ceil(n·q/100)-th ascending
+    non-null value (the 'lower' empirical quantile: type-preserving,
+    no interpolation, bit-identical across engines; q=50 coincides with
+    :func:`grouped_median`). Rank targets use pure integer arithmetic
+    ((n·q + 99) div 100), so no float boundary can flip a selection.
+
+    ONE ranked window pass serves every requested quantile (the rank
+    column is computed once; each row then matches against the
+    broadcast-free in-row quantile array) — adding quantiles costs no
+    extra shuffle. Skew bound: the hottest group's row count, as for
+    any per-key window."""
+    if not quantiles or not all(1 <= q <= 100 for q in quantiles):
+        raise ValueError(f"quantiles must be percents in [1, 100], got {quantiles}")
+    df = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_n"),
+    )
+    q = F.explode(F.array(*[F.lit(int(x)) for x in sorted(set(quantiles))])).alias("q")
+    return (
+        ranked.select(group_col, value_col, "_rn", "_n", q)
+        .filter(F.col("_rn") == F.expr("(_n * q + 99) div 100"))
+        .select(group_col, F.col("q").cast("int").alias("q"), F.col(value_col).alias("value"))
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tie_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The k extreme rows per group with a DETERMINISTIC rank column:
+    row_number over (order_col asc|desc, tie_cols asc). Callers must
+    pass ``tie_cols`` forming a unique key within a group whenever
+    ``order_col`` can tie — otherwise the selected rows depend on
+    shuffle order (the same contract as every deterministic-id operator
+    in the engine).
+
+    Scale shape: one per-group window; Spark's WindowExec evaluates
+    rank streaming over the sorted group, and rows past k are dropped
+    before any downstream exchange. For group-free global top-k use
+    orderBy().limit() instead (TakeOrderedAndProject)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in tie_cols]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2520,3 +2520,224 @@ def cell_compact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = tpch.stops(spark, sf_dir)
     occupied = s.select(_cid("lat", "lon", 5).alias("cell_id"))
     return cell_compact(occupied, res_from=5, res_to=3)
+
+
+@register(
+    "span_sequence_check",
+    """
+    -- the NORTH-RULE per-row invariant: span-sequence equality (kind,
+    -- text, media_ref, order) preserved through every shuffle. The
+    -- Spark side explodes an interleaved text+media span table, round-
+    -- robin scatters it, reassembles per doc and fingerprints the
+    -- offset-ordered sequence; the oracle computes the fingerprint
+    -- DIRECTLY from the same synthesis — any span lost, duplicated or
+    -- reordered in the shuffle round-trip breaks the md5.
+    WITH sp AS (
+      SELECT doc_id, u.i AS i,
+             CASE WHEN u.i % 3 = 2 THEN 'image' ELSE 'text' END AS kind,
+             CASE WHEN u.i % 3 = 2 THEN '' ELSE substr(text, u.i * 7 + 1, 7) END AS stext,
+             CASE WHEN u.i % 3 = 2
+                  THEN 'media://' || md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.i AS VARCHAR))
+                  ELSE '' END AS media_ref
+      FROM documents, UNNEST(range(0, 6)) AS u(i))
+    SELECT doc_id,
+           md5(string_agg(kind || chr(31) || stext || chr(31) || media_ref,
+                          chr(30) ORDER BY i)) AS span_md5
+    FROM sp GROUP BY doc_id
+    """,
+)
+def span_sequence_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence shuffle invariant (north rule / input_hint): an
+    interleaved text+media spans table — array<struct<kind, text,
+    media_ref, offset>> — is exploded to one row per span, round-robin
+    repartitioned (rows land on arbitrary partitions), reassembled per
+    doc and re-ordered by offset; the emitted fingerprint must equal
+    the oracle's direct computation. This is the gate twin of the
+    transit pipeline's span_checksum pytest (sources/docs.span_checksum,
+    FIXTURES.md §1), using md5 so DuckDB reproduces it."""
+    d = tpch.load(spark, sf_dir, "documents")
+    i_seq = F.sequence(F.lit(0), F.lit(5))
+    spans = F.transform(
+        i_seq,
+        lambda i: F.struct(
+            F.when(i % 3 == 2, F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+            F.when(i % 3 == 2, F.lit("")).otherwise(
+                F.col("text").substr(i * 7 + 1, F.lit(7))
+            ).alias("stext"),
+            F.when(
+                i % 3 == 2,
+                F.concat(
+                    F.lit("media://"),
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), i.cast("string"))),
+                ),
+            ).otherwise(F.lit(""))
+            .alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    interleaved = d.select("doc_id", spans.alias("spans"))
+    # the shuffle round-trip under test: explode -> round-robin scatter
+    # -> groupBy reassembly (collect_list order is nondeterministic by
+    # design; offset ordering must restore the sequence)
+    exploded = interleaved.select("doc_id", F.explode("spans").alias("s")).repartition(16)
+    reassembled = exploded.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list("s"),
+            lambda a, b: F.when(a["offset"] < b["offset"], -1)
+            .when(a["offset"] > b["offset"], 1)
+            .otherwise(0),
+        ).alias("spans")
+    )
+    canon = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws("\x1f", s["kind"], s["stext"], s["media_ref"]),
+        ),
+        "\x1e",
+    )
+    return reassembled.select("doc_id", F.md5(canon).alias("span_md5"))
+
+
+@register(
+    "grouped_quantiles",
+    """
+    -- exact per-group quantiles (25/50/75/90): the ceil(n*q/100)-th
+    -- ascending value, integer rank arithmetic — no interpolation
+    WITH r AS (SELECT lang, n_chars,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+                      COUNT(*) OVER (PARTITION BY lang) AS n
+               FROM documents)
+    SELECT lang, CAST(q.q AS INTEGER) AS q, n_chars AS value
+    FROM r, (SELECT UNNEST([25, 50, 75, 90]) AS q) q
+    WHERE rn = (n * q.q + 99) // 100
+    """,
+)
+def grouped_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantile set (operators/aggregates
+    .grouped_quantiles): one ranked window pass serves all four
+    points; integer rank targets make the selection engine-stable."""
+    from osm2gtfs_spark.operators.aggregates import grouped_quantiles
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return grouped_quantiles(d.select("lang", "n_chars"), "lang", "n_chars", (25, 50, 75, 90))
+
+
+@register(
+    "topk_per_group",
+    """
+    -- deterministic per-group top-k: top-3 orders per customer by
+    -- integer cents, ties broken on order key
+    WITH o AS (SELECT o_custkey, o_orderkey,
+                      CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+               FROM orders)
+    SELECT o_custkey, o_orderkey, cents, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey ASC) AS rank
+      FROM o
+    ) WHERE rank <= 3
+    """,
+)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k with a deterministic rank (operators/aggregates
+    .topk_per_group): ordering on the integer cents column (not the
+    raw double) so no ulp difference can flip a selection; tie key
+    makes duplicates deterministic."""
+    from osm2gtfs_spark.operators.aggregates import topk_per_group
+
+    o = tpch.load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return topk_per_group(o, "o_custkey", "cents", k=3, tie_cols=("o_orderkey",))
+
+
+@register(
+    "minhash_fast_pairs",
+    f"""
+    -- the xxhash64 single-fold minhash family (the 100 TB scale path;
+    -- md5 variants exist only for bit-level oracles) under a planted
+    -- truth: exact copies of every 10th doc are planted at
+    -- doc_id+100000; equal shingle SETS imply equal signatures, so the
+    -- fast LSH + exact verify must emit EXACTLY the set-equal pairs.
+    WITH allx AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 100000 AS doc_id, text FROM documents
+                  WHERE doc_id % 10 = 0),
+    s AS (SELECT doc_id, list_sort(list_distinct({DD.shingles_sql('text', 3)})) AS sh
+          FROM allx)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_fast_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fast (xxhash64 Kirsch-Mitzenmacher fold) minhash LSH path
+    end-to-end in the gate (operators/dedup.minhash_bands_fast →
+    lsh_candidate_pairs → exact verify). DuckDB cannot reproduce
+    xxhash64, so the oracle states the planted TRUTH instead: shingle-
+    set-equal pairs — which equal signatures find with probability 1
+    and the jaccard=1000 verify keeps exactly. Previously this family
+    was only pytest-certified via md5-family agreement."""
+    d = tpch.load(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    allx = d.select("doc_id", "text").unionByName(planted)
+    bands = DD.minhash_bands_fast("doc_id", "text", allx, k=8, band_size=2)
+    pairs = DD.lsh_candidate_pairs(bands)
+    return (
+        DD.ngram_jaccard(pairs, allx)
+        .filter(F.col("jaccard_permille") == 1000)
+        .select("doc_a", "doc_b")
+    )
+
+
+@register(
+    "sessionize_stream_timeout",
+    """
+    -- the STATEFUL streaming sessionizer with event-time timeout,
+    -- value-checked against the batch statement of its semantics: all
+    -- gap-closed sessions, plus each user's final session iff the
+    -- stream's final watermark (max ts - 2h) passed its 30-min gap
+    -- horizon (those are emitted by state timeout; fresher finals stay
+    -- in state on a bounded drain).
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS es FROM events),
+    wm AS (SELECT MAX(es) - 7200000 AS w FROM e),
+    o AS (SELECT user_id, es,
+                 CASE WHEN LAG(es) OVER (PARTITION BY user_id ORDER BY es) IS NULL
+                        OR es - LAG(es) OVER (PARTITION BY user_id ORDER BY es) > 1800000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    s AS (SELECT user_id, es,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY es
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o),
+    sess AS (SELECT user_id, sid, MIN(es) AS start_ms, MAX(es) AS end_ms,
+                    COUNT(*) AS n_events
+             FROM s GROUP BY user_id, sid),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY start_ms DESC) AS rn
+               FROM sess)
+    SELECT user_id, start_ms, end_ms, n_events
+    FROM ranked, wm
+    WHERE rn > 1 OR end_ms + 1800000 < wm.w
+    """,
+)
+def sessionize_stream_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 sessionizer fix inside the driver record: the
+    applyInPandasWithState sessionizer (EventTimeTimeout) drained via
+    AvailableNow must equal the batch semantics statement — gap-closed
+    sessions in-batch plus watermark-expired finals via timeout
+    (streaming/events.sessionize)."""
+    import tempfile
+
+    from osm2gtfs_spark.streaming import events as SE
+
+    out = SE.sessionize(SE.stream_events(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as td:
+        SE.run_available_now(out, "gate_session_timeout", td)
+    return spark.sql(
+        "SELECT user_id, unix_millis(CAST(session_start AS TIMESTAMP)) AS start_ms, "
+        "unix_millis(CAST(session_end AS TIMESTAMP)) AS end_ms, n_events "
+        "FROM gate_session_timeout"
+    )

@@ -276,3 +276,40 @@ def test_grouped_median_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     got = {r.g: r.median for r in grouped_median(df, "g", "v").collect()}
     assert got == {"a": 3}  # nulls neither selected nor rank-shifting
+
+
+def test_grouped_quantiles_exact(spark):
+    """Quantile selection: q=50 equals the lower median; q=100 is the
+    max; singleton groups answer every quantile with their value;
+    nulls excluded; bad percents rejected."""
+    from osm2gtfs_spark.operators.aggregates import grouped_median, grouped_quantiles
+
+    rows = [("a", v) for v in [10, 20, 30, 40]]
+    rows += [("b", 7), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {(r.g, r.q): r.value for r in grouped_quantiles(df, "g", "v", (25, 50, 100)).collect()}
+    assert got[("a", 25)] == 10   # ceil(4*.25)=1st
+    assert got[("a", 50)] == 20   # lower median
+    assert got[("a", 100)] == 40  # max
+    assert got[("b", 25)] == got[("b", 50)] == got[("b", 100)] == 7
+    med = {r.g: r.median for r in grouped_median(df, "g", "v").collect()}
+    assert {g: v for (g, q), v in got.items() if q == 50} == med
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="quantiles"):
+        grouped_quantiles(df, "g", "v", (0, 50))
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    """Tie rows select deterministically via tie_cols; ascending flag
+    flips the extreme; k >= group size returns the whole group."""
+    from osm2gtfs_spark.operators.aggregates import topk_per_group
+
+    rows = [("g", 1, 5), ("g", 2, 9), ("g", 3, 9), ("g", 4, 1), ("h", 5, 2)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    top2 = {(r.g, r.rank): r.id for r in topk_per_group(df, "g", "v", 2, tie_cols=("id",)).collect()}
+    assert top2[("g", 1)] == 2 and top2[("g", 2)] == 3  # tie broken on id asc
+    assert top2[("h", 1)] == 5
+    bot1 = {r.g: r.id for r in topk_per_group(df, "g", "v", 1, ascending=True, tie_cols=("id",)).collect()}
+    assert bot1 == {"g": 4, "h": 5}
+    assert topk_per_group(df, "g", "v", 99, tie_cols=("id",)).count() == 5
