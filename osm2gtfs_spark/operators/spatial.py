@@ -453,3 +453,114 @@ def cell_compact(
     for lvl in out_levels[1:]:
         result = result.unionByName(lvl)
     return result
+
+
+def snap_to_polyline(
+    points: DataFrame,
+    segments: DataFrame,
+    res: int,
+    k_ring: int = 1,
+    point_key: str = "stop_key",
+    seg_key: str = "seg_id",
+    n_neighbors: int = 1,
+    oversample: int = 2,
+    max_steps: int = 4096,
+) -> DataFrame:
+    """Point→route-GEOMETRY snap (north star: 'kNN snap of unmatched
+    stops to route geometries'): the nearest polyline SEGMENT by
+    clamped perpendicular distance, plus the snap position along it.
+
+    :func:`knn_snap` snaps to target POINTS; this operator snaps to
+    segments (lat1, lon1)→(lat2, lon2). Candidates come from the same
+    cell-ring discipline — segments are rasterized to the cells they
+    cross (:func:`polyline_cell_coverage`), each point explodes its
+    k-ring and equi-joins on cell, so a point only ever sees segments
+    passing near it, never a cross join. Points with no segment in the
+    ring are omitted (re-run the residue with a larger ring, as for
+    knn_snap).
+
+    Distance dialect (oracle-exact): squared degree distance in the
+    equirectangular (lat, lon) plane to the segment point at
+    t* = clamp(((p−a)·(b−a)) / |b−a|², 0, 1); degenerate zero-length
+    segments snap to their endpoint (t*=0). Closed-form shared-IEEE
+    arithmetic — bit-identical in any engine. Production meters would
+    swap in a haversine ranking exactly as knn_snap does.
+
+    Returns (point_key, nearest_<seg_key>, t_permille, rank):
+    ``t_permille`` = floor(1000·t*) locates the snap along the winner
+    for downstream stop-ordering / cursor alignment.
+
+    Scale shape: rasterize (bounded fanout per segment) → ring-explode
+    probe side only → cell equi join → per-pair closed-form math →
+    two-phase min(struct) argmin (map-side combined; the exchange
+    carries one row per point per map partition, not per candidate)."""
+    cov = polyline_cell_coverage(
+        segments, res=res, id_col=seg_key, oversample=oversample, max_steps=max_steps
+    )
+    pts = points.select(
+        F.col(point_key),
+        F.col("lat").alias("_p_lat"),
+        F.col("lon").alias("_p_lon"),
+        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("cell_id"),
+    )
+    # a segment crossing several ring cells would duplicate the pair:
+    # dedup candidates BEFORE the geometry math (coords ride along —
+    # functionally dependent on the point key)
+    cand_keys = (
+        pts.join(cov, "cell_id")
+        .select(point_key, "_p_lat", "_p_lon", seg_key)
+        .distinct()
+    )
+    seg = segments.select(
+        F.col(seg_key),
+        F.col("lat1").cast("double").alias("_a1"),
+        F.col("lon1").cast("double").alias("_o1"),
+        F.col("lat2").cast("double").alias("_a2"),
+        F.col("lon2").cast("double").alias("_o2"),
+    )
+    cand = cand_keys.join(seg, seg_key)
+    vx = F.col("_a2") - F.col("_a1")
+    vy = F.col("_o2") - F.col("_o1")
+    wx = F.col("_p_lat") - F.col("_a1")
+    wy = F.col("_p_lon") - F.col("_o1")
+    denom = vx * vx + vy * vy
+    # explicit zero-length branch: engines disagree on double x/0
+    # (Spark NULL, DuckDB inf) — both would otherwise diverge here
+    t = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), (wx * vx + wy * vy) / denom))
+    )
+    dx = F.col("_p_lat") - (F.col("_a1") + t * vx)
+    dy = F.col("_p_lon") - (F.col("_o1") + t * vy)
+    scored = cand.select(
+        point_key,
+        seg_key,
+        (dx * dx + dy * dy).alias("_d"),
+        F.floor(t * 1000).cast("long").alias("t_permille"),
+    )
+    if n_neighbors == 1:
+        best = scored.groupBy(point_key).agg(
+            F.min(
+                F.struct(
+                    F.col("_d").alias("d"),
+                    F.col(seg_key).alias("k"),
+                    F.col("t_permille").alias("t"),
+                )
+            ).alias("_b")
+        )
+        return best.select(
+            F.col(point_key),
+            F.col("_b.k").alias(f"nearest_{seg_key}"),
+            F.col("_b.t").alias("t_permille"),
+            F.lit(1).alias("rank"),
+        )
+    w = Window.partitionBy(point_key).orderBy(F.col("_d").asc(), F.col(seg_key).asc())
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_neighbors)
+        .select(
+            F.col(point_key),
+            F.col(seg_key).alias(f"nearest_{seg_key}"),
+            "t_permille",
+            F.col("_rank").alias("rank"),
+        )
+    )

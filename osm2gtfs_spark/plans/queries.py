@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 (newest first — driver-certified nowhere yet)
+    "snap_to_polyline",
     "corpus_prep_packed",
     "corpus_stats_artifact",
     "polyline_cell_coverage",
@@ -2741,3 +2742,78 @@ def sessionize_stream_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_millis(CAST(session_end AS TIMESTAMP)) AS end_ms, n_events "
         "FROM gate_session_timeout"
     )
+
+
+@register(
+    "snap_to_polyline",
+    f"""
+    -- kNN snap to route GEOMETRY (not points): nearest SEGMENT by
+    -- clamped perpendicular distance in the equirectangular plane,
+    -- candidates restricted to segments whose rasterized cells fall in
+    -- the station's 1-ring at res 6; t_permille = snap position.
+    WITH s AS ({tpch.STOPS_SQL}),
+    t AS ({tpch.STATIONS_SQL}),
+    seg AS (SELECT a.stop_key AS seg_id, a.lat AS a1, a.lon AS o1,
+                   b.lat AS a2, b.lon AS o2
+            FROM s a JOIN s b ON b.stop_key = a.stop_key + 1),
+    st AS (SELECT seg_id, a1, o1, a2, o2,
+                  LEAST(4096, GREATEST(1,
+                    CAST(CEIL(GREATEST(ABS(o2 - o1) / 360.0 * 64.0,
+                                       ABS(a2 - a1) / 180.0 * 64.0)) AS BIGINT) * 2)) AS ns
+           FROM seg),
+    pts AS (SELECT seg_id,
+                   a1 + (a2 - a1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lat,
+                   o1 + (o2 - o1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lon
+            FROM st, UNNEST(range(0, ns + 1)) AS u(j)),
+    cov AS (SELECT DISTINCT seg_id,
+                   LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63) AS ix,
+                   LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63) AS iy
+            FROM pts),
+    tc AS (SELECT station_key, lat AS plat, lon AS plon,
+                  LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63) AS ix,
+                  LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63) AS iy
+           FROM t),
+    cand AS (SELECT DISTINCT tc.station_key, tc.plat, tc.plon, cov.seg_id
+             FROM tc JOIN cov
+               ON LEAST(ABS(tc.ix - cov.ix), 64 - ABS(tc.ix - cov.ix)) <= 1
+              AND ABS(tc.iy - cov.iy) <= 1),
+    geo AS (SELECT c.station_key, c.seg_id,
+                   CASE WHEN (g.a2 - g.a1) * (g.a2 - g.a1) + (g.o2 - g.o1) * (g.o2 - g.o1) = 0
+                        THEN 0.0
+                        ELSE GREATEST(0.0, LEAST(1.0,
+                          ((c.plat - g.a1) * (g.a2 - g.a1) + (c.plon - g.o1) * (g.o2 - g.o1))
+                          / ((g.a2 - g.a1) * (g.a2 - g.a1) + (g.o2 - g.o1) * (g.o2 - g.o1)))) END AS tt,
+                   c.plat, c.plon, g.a1, g.o1, g.a2, g.o2
+            FROM cand c JOIN seg g USING (seg_id)),
+    scored AS (SELECT station_key, seg_id,
+                      (plat - (a1 + tt * (a2 - a1))) * (plat - (a1 + tt * (a2 - a1)))
+                    + (plon - (o1 + tt * (o2 - o1))) * (plon - (o1 + tt * (o2 - o1))) AS d,
+                      CAST(FLOOR(tt * 1000) AS BIGINT) AS t_permille
+               FROM geo),
+    ranked AS (SELECT station_key, seg_id, t_permille,
+                      ROW_NUMBER() OVER (PARTITION BY station_key
+                                         ORDER BY d ASC, seg_id ASC) AS rnk
+               FROM scored)
+    SELECT station_key, seg_id AS nearest_seg_id, t_permille
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def snap_to_polyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snap to route geometries (operators/spatial.snap_to_polyline):
+    stations snap to the nearest consecutive-stop SEGMENT — the north
+    star's 'kNN snap of unmatched stops to route geometries', with the
+    snap position (t_permille) for downstream ordering. Candidates via
+    rasterized-segment cell-ring join; winner via two-phase
+    min(struct) argmin. The oracle replays rasterization, ring, clamp
+    and distance with identical IEEE arithmetic."""
+    from osm2gtfs_spark.operators.spatial import snap_to_polyline
+
+    s = tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon")
+    a = s.select(F.col("stop_key").alias("seg_id"), F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
+    bb = s.select((F.col("stop_key") - 1).alias("seg_id"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
+    seg = a.join(bb, "seg_id")
+    stations = tpch.stations(spark, sf_dir)
+    out = snap_to_polyline(
+        stations, seg, res=6, k_ring=1, point_key="station_key", seg_key="seg_id"
+    )
+    return out.select("station_key", "nearest_seg_id", "t_permille")

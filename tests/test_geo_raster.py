@@ -117,6 +117,40 @@ def test_cell_compact_roundtrip(spark):
     assert expanded == set(cells)
 
 
+def test_snap_to_polyline_geometry(spark):
+    """Closed-form snap correctness: a point beside a segment's middle
+    snaps perpendicular (t ≈ middle); a point past the end clamps to
+    t=1000; a zero-length segment snaps at t=0; the nearer of two
+    segments wins."""
+    from osm2gtfs_spark.operators.spatial import snap_to_polyline
+
+    segs = [
+        (1, 0.0, 0.0, 0.0, 10.0),   # along the equator, lon 0..10
+        (2, 5.0, 0.0, 5.0, 10.0),   # parallel, 5 deg north
+        (3, -20.0, 3.0, -20.0, 3.0) # degenerate point-segment
+    ]
+    seg = spark.createDataFrame(
+        segs, "seg_id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    pts = [
+        (10, 1.0, 5.0),    # 1 deg above seg 1's midpoint -> seg 1, t=500
+        (11, 0.5, 20.0),   # past seg 1's far end -> clamps t=1000
+        (12, 4.0, 2.0),    # nearer seg 2 than seg 1 -> seg 2, t=200
+        (13, -19.5, 3.2),  # near the degenerate segment -> t=0
+    ]
+    p = spark.createDataFrame(pts, "station_key long, lat double, lon double")
+    out = {
+        r.station_key: (r.nearest_seg_id, r.t_permille)
+        for r in snap_to_polyline(
+            p, seg, res=4, k_ring=1, point_key="station_key", seg_key="seg_id"
+        ).collect()
+    }
+    assert out[10] == (1, 500)
+    assert out[11] == (1, 1000)
+    assert out[12] == (2, 200)
+    assert out[13] == (3, 0)
+
+
 def test_cell_compact_validates_res(spark):
     df = spark.createDataFrame([(5 * 2**52,)], "cell_id long")
     with pytest.raises(ValueError, match="coarser"):

@@ -34,6 +34,7 @@ GUARDED = {
     "url_canonical_filter": 0,
     "corpus_prep_pipeline": 0,
     "corpus_prep_packed": 0,
+    "snap_to_polyline": 0,
     "corpus_stats_artifact": 0,
     "media_decode_meta_real": 1,
     "sessionize_batch": 0,

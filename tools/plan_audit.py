@@ -47,6 +47,16 @@ AUDIT = [
     "quality_filter_composite",
     "dedup_keeper_corpus",
     "embedding_quantize",
+    # round-5 additions
+    "morton_cell_encode",
+    "polyline_cell_coverage",
+    "cell_compact",
+    "span_sequence_check",
+    "grouped_quantiles",
+    "topk_per_group",
+    "minhash_fast_pairs",
+    "corpus_prep_packed",
+    "snap_to_polyline",
 ]
 
 
