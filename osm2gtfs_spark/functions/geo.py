@@ -74,9 +74,7 @@ def cell_id(lat, lon, res: int) -> Column:
 
 def cell_id_sql(lat_expr: str, lon_expr: str, res: int) -> str:
     """The identical cell-id formula as an ANSI SQL string (DuckDB oracle)."""
-    n = 2**res
-    ix = f"LEAST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0) AS BIGINT), {n - 1})"
-    iy = f"LEAST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}.0) AS BIGINT), {n - 1})"
+    ix, iy = cell_ixiy_sql(lat_expr, lon_expr, res)
     return f"(CAST({res} AS BIGINT) * {_RES_SHIFT} + {ix} * {_IX_SHIFT} + {iy})"
 
 

@@ -62,8 +62,16 @@ def grouped_quantiles(
     broadcast-free in-row quantile array) — adding quantiles costs no
     extra shuffle. Skew bound: the hottest group's row count, as for
     any per-key window."""
-    if not quantiles or not all(1 <= q <= 100 for q in quantiles):
-        raise ValueError(f"quantiles must be percents in [1, 100], got {quantiles}")
+    # integer percents only (review r5): silently truncating 99.9 → 99
+    # would answer a different question, and coercion-after-dedup could
+    # emit duplicate (group, q) rows
+    if not quantiles or not all(
+        float(q) == int(q) and 1 <= int(q) <= 100 for q in quantiles
+    ):
+        raise ValueError(
+            f"quantiles must be whole percents in [1, 100], got {quantiles}"
+        )
+    qs = sorted({int(x) for x in quantiles})
     df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
     ranked = df.select(
@@ -72,7 +80,7 @@ def grouped_quantiles(
         F.row_number().over(w).alias("_rn"),
         F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_n"),
     )
-    q = F.explode(F.array(*[F.lit(int(x)) for x in sorted(set(quantiles))])).alias("q")
+    q = F.explode(F.array(*[F.lit(x) for x in qs])).alias("q")
     return (
         ranked.select(group_col, value_col, "_rn", "_n", q)
         .filter(F.col("_rn") == F.expr("(_n * q + 99) div 100"))

@@ -124,6 +124,7 @@ def inverted_index(
     text_col: str = "text",
     max_df: int | float | None = 0.8,
     n_docs: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """(token, df, postings): sorted posting lists per token.
 
@@ -141,11 +142,16 @@ def inverted_index(
     - int: absolute document-frequency cap;
     - ``None`` or ``0``: explicitly DISABLE (caller owns the skew).
 
-    Dropped stopwords are logged (count + sample). The hot-token list
-    is ≤ total_token_occurrences/cap ≈ avgdl/frac entries — bounded
-    driver-side metadata, the same class as the sanctioned hot-bucket
-    key lists in dedup. Postings are sort_array'd structs (doc_id asc)
-    so the index is deterministic under any partitioning."""
+    The cap filter is a lazy broadcast anti-join against the hot-token
+    set (review r5: NOT a driver-side collect+isin — with a small
+    ABSOLUTE cap on a web corpus the hot set is O(vocab), unbounded on
+    the driver; the anti-join handles any size distributed, and for the
+    fractional default the set is tiny so the broadcast is free).
+    Dropped stopwords are logged via a BOUNDED sample (limit 10+1 —
+    one extra job over the term counts; pass ``log_dropped=False`` on
+    hot serving paths to skip it). Postings are sort_array'd structs
+    (doc_id asc) so the index is deterministic under any
+    partitioning."""
     tc = term_counts(docs, doc_id, text_col)
     if max_df not in (None, 0):
         if isinstance(max_df, float):
@@ -161,15 +167,16 @@ def inverted_index(
             .filter(F.col("_df") > cap)
             .select("token")
         )
-        hot_tokens = sorted(r["token"] for r in hot.collect())
-        if hot_tokens:
-            log.info(
-                "inverted_index: max_df cap %d drops %d stopword token(s), e.g. %s",
-                cap,
-                len(hot_tokens),
-                hot_tokens[:10],
-            )
-            tc = tc.filter(~F.col("token").isin(hot_tokens))
+        if log_dropped:
+            sample = sorted(r["token"] for r in hot.limit(11).collect())
+            if sample:
+                log.info(
+                    "inverted_index: max_df cap %d drops %s stopword token(s), e.g. %s",
+                    cap,
+                    f"{len(sample)}" if len(sample) <= 10 else ">10",
+                    sample[:10],
+                )
+        tc = tc.join(F.broadcast(hot), "token", "left_anti")
     return (
         tc.groupBy("token")
         .agg(

@@ -1741,7 +1741,9 @@ _TOK_CTE = """
     _TOK_CTE
     + """
     , keep AS (SELECT token FROM dfq
-               WHERE df <= (SELECT COUNT(*) * 4 // 5 FROM documents))
+               -- GREATEST floor mirrors the engine's max(1, ...) so a
+               -- 1-doc corpus keeps its (df=1) tokens in both engines
+               WHERE df <= (SELECT GREATEST(COUNT(*) * 4 // 5, 1) FROM documents))
     SELECT t.token,
            CAST(COUNT(*) AS BIGINT) AS df,
            md5(string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id)) AS postings_md5
@@ -2448,6 +2450,46 @@ def morton_cell_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seg_raster_ctes(res: int) -> str:
+    """Oracle CTEs ``seg``/``st``/``pts``: consecutive-stop segments
+    sampled at ``res`` per the polyline_cell_coverage dialect (2×
+    oversampled Chebyshev steps, capped at 4096). ONE copy shared by
+    the polyline_cell_coverage and snap_to_polyline oracles so the
+    sampling dialect cannot drift between them (review r5 — same
+    rationale as _prep_cte_chain). Expects a prior CTE ``s`` with
+    (stop_key, lat, lon)."""
+    n = 2**res
+    return f"""
+    seg AS (SELECT a.stop_key AS seg_id, a.lat AS a1, a.lon AS o1,
+                   b.lat AS a2, b.lon AS o2
+            FROM s a JOIN s b ON b.stop_key = a.stop_key + 1),
+    st AS (SELECT seg_id, a1, o1, a2, o2,
+                  LEAST(4096, GREATEST(1,
+                    CAST(CEIL(GREATEST(ABS(o2 - o1) / 360.0 * {n}.0,
+                                       ABS(a2 - a1) / 180.0 * {n}.0)) AS BIGINT) * 2)) AS ns
+           FROM seg),
+    pts AS (SELECT seg_id,
+                   a1 + (a2 - a1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lat,
+                   o1 + (o2 - o1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lon
+            FROM st, UNNEST(range(0, ns + 1)) AS u(j))"""
+
+
+def _consecutive_segments(stops: DataFrame) -> DataFrame:
+    """(seg_id, lat1, lon1, lat2, lon2): consecutive-stop-pair segments
+    — the Spark twin of the oracle's ``seg`` CTE."""
+    a = stops.select(
+        F.col("stop_key").alias("seg_id"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+    )
+    b = stops.select(
+        (F.col("stop_key") - 1).alias("seg_id"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    return a.join(b, "seg_id")
+
+
 @register(
     "polyline_cell_coverage",
     f"""
@@ -2455,18 +2497,7 @@ def morton_cell_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- segment at res 8 (sampling dialect: 2x oversampled Chebyshev
     -- steps, capped; identical IEEE arithmetic both engines)
     WITH s AS ({tpch.STOPS_SQL}),
-    seg AS (SELECT a.stop_key AS seg_id, a.lat AS a1, a.lon AS o1,
-                   b.lat AS a2, b.lon AS o2
-            FROM s a JOIN s b ON b.stop_key = a.stop_key + 1),
-    st AS (SELECT seg_id, a1, o1, a2, o2,
-                  LEAST(4096, GREATEST(1,
-                    CAST(CEIL(GREATEST(ABS(o2 - o1) / 360.0 * 256.0,
-                                       ABS(a2 - a1) / 180.0 * 256.0)) AS BIGINT) * 2)) AS ns
-           FROM seg),
-    pts AS (SELECT seg_id,
-                   a1 + (a2 - a1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lat,
-                   o1 + (o2 - o1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lon
-            FROM st, UNNEST(range(0, ns + 1)) AS u(j))
+    {_seg_raster_ctes(8)}
     SELECT DISTINCT seg_id, {cell_id_sql('lat', 'lon', 8)} AS cell_id FROM pts
     """,
 )
@@ -2478,10 +2509,7 @@ def polyline_cell_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment and the whole plan is explode → cell encode → distinct."""
     from osm2gtfs_spark.operators.spatial import polyline_cell_coverage
 
-    s = tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon")
-    a = s.select(F.col("stop_key").alias("seg_id"), F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
-    bb = s.select((F.col("stop_key") - 1).alias("seg_id"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
-    seg = a.join(bb, "seg_id")
+    seg = _consecutive_segments(tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon"))
     return polyline_cell_coverage(seg, res=8)
 
 
@@ -2678,14 +2706,20 @@ def minhash_fast_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64, so the oracle states the planted TRUTH instead: shingle-
     set-equal pairs — which equal signatures find with probability 1
     and the jaccard=1000 verify keeps exactly. Previously this family
-    was only pytest-certified via md5-family agreement."""
+    was only pytest-certified via md5-family agreement.
+
+    max_bucket=None here (review r5): the oracle states the FULL
+    set-equal truth, and the hot-bucket skew cap changes the answer by
+    design (it drops boilerplate families larger than the cap) — so the
+    exactness gate must run uncapped; production keeps the default cap
+    and the cap's behavior is covered by its own skew tests."""
     d = tpch.load(spark, sf_dir, "documents")
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     allx = d.select("doc_id", "text").unionByName(planted)
     bands = DD.minhash_bands_fast("doc_id", "text", allx, k=8, band_size=2)
-    pairs = DD.lsh_candidate_pairs(bands)
+    pairs = DD.lsh_candidate_pairs(bands, max_bucket=None)
     return (
         DD.ngram_jaccard(pairs, allx)
         .filter(F.col("jaccard_permille") == 1000)
@@ -2753,25 +2787,14 @@ def sessionize_stream_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the station's 1-ring at res 6; t_permille = snap position.
     WITH s AS ({tpch.STOPS_SQL}),
     t AS ({tpch.STATIONS_SQL}),
-    seg AS (SELECT a.stop_key AS seg_id, a.lat AS a1, a.lon AS o1,
-                   b.lat AS a2, b.lon AS o2
-            FROM s a JOIN s b ON b.stop_key = a.stop_key + 1),
-    st AS (SELECT seg_id, a1, o1, a2, o2,
-                  LEAST(4096, GREATEST(1,
-                    CAST(CEIL(GREATEST(ABS(o2 - o1) / 360.0 * 64.0,
-                                       ABS(a2 - a1) / 180.0 * 64.0)) AS BIGINT) * 2)) AS ns
-           FROM seg),
-    pts AS (SELECT seg_id,
-                   a1 + (a2 - a1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lat,
-                   o1 + (o2 - o1) * (CAST(u.j AS DOUBLE) / CAST(ns AS DOUBLE)) AS lon
-            FROM st, UNNEST(range(0, ns + 1)) AS u(j)),
+    {_seg_raster_ctes(6)},
     cov AS (SELECT DISTINCT seg_id,
-                   LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63) AS ix,
-                   LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63) AS iy
+                   {_cell_ixiy_sql('lat', 'lon', 6)[0]} AS ix,
+                   {_cell_ixiy_sql('lat', 'lon', 6)[1]} AS iy
             FROM pts),
     tc AS (SELECT station_key, lat AS plat, lon AS plon,
-                  LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63) AS ix,
-                  LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63) AS iy
+                  {_cell_ixiy_sql('lat', 'lon', 6)[0]} AS ix,
+                  {_cell_ixiy_sql('lat', 'lon', 6)[1]} AS iy
            FROM t),
     cand AS (SELECT DISTINCT tc.station_key, tc.plat, tc.plon, cov.seg_id
              FROM tc JOIN cov
@@ -2808,10 +2831,7 @@ def snap_to_polyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and distance with identical IEEE arithmetic."""
     from osm2gtfs_spark.operators.spatial import snap_to_polyline
 
-    s = tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon")
-    a = s.select(F.col("stop_key").alias("seg_id"), F.col("lat").alias("lat1"), F.col("lon").alias("lon1"))
-    bb = s.select((F.col("stop_key") - 1).alias("seg_id"), F.col("lat").alias("lat2"), F.col("lon").alias("lon2"))
-    seg = a.join(bb, "seg_id")
+    seg = _consecutive_segments(tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon"))
     stations = tpch.stations(spark, sf_dir)
     out = snap_to_polyline(
         stations, seg, res=6, k_ring=1, point_key="station_key", seg_key="seg_id"

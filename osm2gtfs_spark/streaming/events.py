@@ -101,35 +101,45 @@ def _sessionize_fn(
         rows.append((user_id, start_ms, last_ms, n))
         state.remove()
     else:
+        # INTERVAL MERGE, not a tail-append fold (review r5): a late-
+        # but-admitted event can arrive in a LATER micro-batch with an
+        # earlier timestamp than the open session's last_ms (or even its
+        # start_ms). Appending it to the tail would move last_ms
+        # backward and mis-split sessions the batch twin keeps whole.
+        # Instead the open-session state participates as one interval in
+        # a time-ordered sweep over [state] + this batch's events —
+        # identical result to re-running the batch sessionizer over the
+        # union, which is exactly the equivalence the gate asserts.
+        intervals: list[list[int]] = []  # [start, end, n], time-ordered sweep input
         if state.exists:
-            start_ms, last_ms, n = state.get
-        else:
-            start_ms = last_ms = None
-            n = 0
+            s0, e0, n0 = state.get
+            intervals.append([s0, e0, n0])
         ts_list: list[int] = []
         for pdf in pdfs:
             ts_list.extend(int(t.value // 10**6) for t in pd.to_datetime(pdf.ts))
-        for t in sorted(ts_list):
-            if start_ms is None:
-                start_ms = last_ms = t
-                n = 1
-            elif t - last_ms > SESSION_GAP_MS:
-                rows.append((user_id, start_ms, last_ms, n))
-                start_ms = last_ms = t
-                n = 1
+        intervals.extend([t, t, 1] for t in ts_list)
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list[int]] = []
+        for iv in intervals:
+            if merged and iv[0] - merged[-1][1] <= SESSION_GAP_MS:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
             else:
-                last_ms = t
-                n += 1
-        if start_ms is not None:
+                merged.append(iv)
+        # all but the trailing interval are gap-closed; the trailing one
+        # is the open session unless the watermark already passed it
+        for s0, e0, n0 in merged[:-1]:
+            rows.append((user_id, s0, e0, n0))
+        if merged:
+            s0, e0, n0 = merged[-1]
             wm = state.getCurrentWatermarkMs()
-            if wm > last_ms + SESSION_GAP_MS:
-                # the watermark already passed this session's horizon
-                # (late-but-admitted batch): it is final right now
-                rows.append((user_id, start_ms, last_ms, n))
+            if wm > e0 + SESSION_GAP_MS:
+                # late-but-admitted batch: the horizon already passed
+                rows.append((user_id, s0, e0, n0))
                 state.remove()
             else:
-                state.update((start_ms, last_ms, n))
-                state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
+                state.update((s0, e0, n0))
+                state.setTimeoutTimestamp(e0 + SESSION_GAP_MS)
     if rows:
         yield pd.DataFrame(
             {

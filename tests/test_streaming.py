@@ -122,6 +122,49 @@ def test_sessionize_idle_user_times_out(spark, tmp_path):
     assert all(r.n_events != 3 for r in u1)
 
 
+def test_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """Review r5: a late-but-admitted event arriving in a LATER batch
+    with an EARLIER timestamp must merge into the open session without
+    moving its end backward or splitting it. Timeline 10:00, 10:20,
+    [batch 2:] 10:05 (late), 10:45 — every gap <= 30 min, so batch
+    semantics give ONE session 10:00-10:45 x4; the old tail-append fold
+    emitted a bogus split."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "t", 0.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "src")
+    spark.createDataFrame([ev(1, 1, 0), ev(2, 1, 20)], schema).coalesce(1).write.parquet(src)
+    # late 10:05 (admitted: watermark is 10:20-2h) together with 10:45
+    spark.createDataFrame([ev(3, 1, 5), ev(4, 1, 45)], schema).coalesce(1).write.mode("append").parquet(src)
+    # advance the watermark far past 10:45+gap so the final session emits
+    spark.createDataFrame([ev(5, 2, 300)], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SE.EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    SE.run_available_now(SE.sessionize(stream), "ooo_sessions", str(tmp_path / "ck_ooo"))
+    u1 = [
+        (int(pd.Timestamp(r.session_start).value // 10**6),
+         int(pd.Timestamp(r.session_end).value // 10**6), r.n_events)
+        for r in spark.sql("SELECT * FROM ooo_sessions WHERE user_id = 1").collect()
+    ]
+    want = [
+        (int(pd.Timestamp(t0).value // 10**6),
+         int(pd.Timestamp(t0 + dt.timedelta(minutes=45)).value // 10**6), 4)
+    ]
+    assert u1 == want, u1
+
+
 def test_tile_coverage_stream_matches_batch(spark, sf_dir, tmp_path):
     """Streaming tile coverage (watermarked window × cell) equals the
     batch groupBy on the bounded source."""
