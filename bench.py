@@ -154,6 +154,22 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     timings["gtfs_zip_sharded"] = zip_sec
 
+    # round-5 geospatial operators: single warmed rep each (outside the
+    # r1 total so rounds stay comparable) — puts the new surface's perf
+    # on the per-round record
+    for gname in (
+        "morton_cell_encode",
+        "polyline_cell_coverage",
+        "cell_compact",
+        "snap_to_polyline",
+        "raster_region_extract",
+    ):
+        fn = registry[gname]
+        fn(spark, sf_dir).count()  # warm
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[gname] = round(time.time() - t0, 3)
+
     # schedule-join path (J5 composite join + J7 alignment kernel + W6
     # distance interpolation) on the same city — first benched in r3;
     # row count is schedule-bound (~27k), so rows/sec is NOT comparable

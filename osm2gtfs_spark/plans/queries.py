@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 (newest first — driver-certified nowhere yet)
+    "raster_region_extract",
     "snap_to_polyline",
     "corpus_prep_packed",
     "corpus_stats_artifact",
@@ -2837,3 +2838,52 @@ def snap_to_polyline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stations, seg, res=6, k_ring=1, point_key="station_key", seg_key="seg_id"
     )
     return out.select("station_key", "nearest_seg_id", "t_permille")
+
+
+_RR_IX, _RR_IY = _cell_ixiy_sql("lat", "lon", 5)
+
+
+@register(
+    "raster_region_extract",
+    f"""
+    -- RASTER->VECTOR: connected regions of the occupied-cell set under
+    -- 4-neighbor adjacency (lon wraps, lat edges don't) + boundary
+    -- flag (degree < 4). region_id = min cell id reachable — the same
+    -- min-label truth the engine's pointer-jumping CC computes.
+    WITH RECURSIVE
+    s AS ({tpch.STOPS_SQL}),
+    cxy AS (SELECT DISTINCT {_RR_IX} AS ix, {_RR_IY} AS iy FROM s),
+    c AS (SELECT ix, iy,
+                 CAST(5 AS BIGINT) * {2**52} + ix * {2**26} + iy AS cell_id
+          FROM cxy),
+    e AS (SELECT a.cell_id AS src, b.cell_id AS dst
+          FROM c a JOIN c b
+            ON (b.iy = a.iy AND (b.ix = (a.ix + 1) % 32 OR b.ix = (a.ix + 31) % 32))
+            OR (b.ix = a.ix AND (b.iy = a.iy + 1 OR b.iy = a.iy - 1))),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+    comp AS (SELECT src AS cell_id, LEAST(src, MIN(dst)) AS region_id
+             FROM reach GROUP BY src),
+    deg AS (SELECT src AS cell_id, COUNT(*) AS d FROM e GROUP BY src)
+    SELECT c.cell_id,
+           COALESCE(comp.region_id, c.cell_id) AS region_id,
+           COALESCE(deg.d, 0) < 4 AS is_boundary
+    FROM c LEFT JOIN comp USING (cell_id) LEFT JOIN deg USING (cell_id)
+    """,
+)
+def raster_region_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector region extraction (operators/spatial
+    .raster_regions): contiguous served areas of the coverage map as
+    deterministic region labels + boundary cells — closes the
+    raster↔vector pair (tile_coverage / polyline_cell_coverage go the
+    other way). Adjacency is closed-form neighbor arithmetic; the
+    labeling is the engine's pointer-jumping connected components; the
+    oracle is a recursive-CTE closure over the same edges."""
+    from osm2gtfs_spark.functions.geo import cell_id as _cid
+    from osm2gtfs_spark.operators.spatial import raster_regions
+
+    s = tpch.stops(spark, sf_dir)
+    occupied = s.select(_cid("lat", "lon", 5).alias("cell_id"))
+    return raster_regions(occupied, res=5)

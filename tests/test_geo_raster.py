@@ -151,6 +151,39 @@ def test_snap_to_polyline_geometry(spark):
     assert out[13] == (3, 0)
 
 
+def test_raster_regions_seeded(spark):
+    """Region extraction on a seeded map: an L-shaped region, a
+    separate 2x2 block, an isolated cell, and a pair adjacent ONLY
+    across the antimeridian (ix 0 and n-1) — labels are min-cell-id
+    per region; boundary = fewer than 4 occupied neighbors (the 2x2
+    block is all-boundary, a plus-sign center is interior)."""
+    from osm2gtfs_spark.operators.spatial import raster_regions
+
+    res, n = 4, 16
+
+    def cid(ix, iy):
+        return res * 2**52 + ix * 2**26 + iy
+
+    plus = [cid(5, 5), cid(4, 5), cid(6, 5), cid(5, 4), cid(5, 6)]  # + shape
+    block = [cid(10, 10), cid(11, 10), cid(10, 11), cid(11, 11)]
+    lone = [cid(2, 13)]
+    wrap = [cid(0, 8), cid(n - 1, 8)]  # adjacent only via lon wrap
+    cells = plus + block + lone + wrap
+    df = spark.createDataFrame([(c,) for c in cells], "cell_id long")
+    got = {r.cell_id: (r.region_id, r.is_boundary) for r in raster_regions(df, res=res).collect()}
+    assert len(got) == len(cells)
+    # one label per region, equal to the min member
+    for group in (plus, block, wrap):
+        labels = {got[c][0] for c in group}
+        assert labels == {min(group)}, group
+    assert got[lone[0]] == (lone[0], True)
+    # the plus center has all 4 neighbors occupied -> interior
+    assert got[cid(5, 5)] == (min(plus), False)
+    assert all(got[c][1] for c in block)  # 2x2: every cell misses >=2 nbrs
+    # regions are distinct from each other
+    assert len({got[g[0]][0] for g in (plus, block, lone, wrap)}) == 4
+
+
 def test_cell_compact_validates_res(spark):
     df = spark.createDataFrame([(5 * 2**52,)], "cell_id long")
     with pytest.raises(ValueError, match="coarser"):

@@ -35,6 +35,7 @@ GUARDED = {
     "corpus_prep_pipeline": 0,
     "corpus_prep_packed": 0,
     "snap_to_polyline": 0,
+    "raster_region_extract": 0,
     "corpus_stats_artifact": 0,
     "media_decode_meta_real": 1,
     "sessionize_batch": 0,

@@ -57,6 +57,7 @@ AUDIT = [
     "minhash_fast_pairs",
     "corpus_prep_packed",
     "snap_to_polyline",
+    "raster_region_extract",
 ]
 
 
