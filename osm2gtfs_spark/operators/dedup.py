@@ -600,6 +600,7 @@ def incremental_dedup(
     band_size: int = 2,
     jaccard_threshold_permille: int = 800,
     max_bucket: int | None = 1000,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Admit only NEW documents that are not near-dups of the EXISTING
     corpus — the daily-increment production pattern (the full-corpus
@@ -611,10 +612,19 @@ def incremental_dedup(
     cannot admit two copies of the same text — first occurrence by min
     doc_id wins), exact n-gram Jaccard verify on candidates only, then
     anti-join the rejected ids. The corpus band table is the thing to
-    precompute/persist incrementally at scale — it never rescans old
-    text. ``max_bucket`` caps boilerplate buckets on the corpus side."""
+    precompute/persist incrementally at scale — pass it as
+    ``corpus_bands`` (a persisted :func:`minhash_bands` table with the
+    same (k, band_size)) and the corpus TEXT is only touched for the
+    candidates' verify lookups, never re-banded; with
+    ``corpus_bands=None`` the bands are derived from ``corpus`` per
+    call (dev-mode). ``max_bucket`` caps boilerplate buckets on the
+    corpus side."""
     nb = minhash_bands(doc_id, text_col, new_docs, k, band_size)
-    cb = minhash_bands(doc_id, text_col, corpus, k, band_size)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_bands(doc_id, text_col, corpus, k, band_size)
+    )
     if max_bucket is not None:
         hot = (
             cb.groupBy("band_idx", "band_hash")

@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 (newest first — driver-certified nowhere yet)
+    "neardup_ingest_stream",
     "raster_region_extract",
     "snap_to_polyline",
     "corpus_prep_packed",
@@ -2887,3 +2888,126 @@ def raster_region_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = tpch.stops(spark, sf_dir)
     occupied = s.select(_cid("lat", "lon", 5).alias("cell_id"))
     return raster_regions(occupied, res=5)
+
+
+def _inc_admit_ctes(sfx: str, new_cte: str, corpus_sql: str) -> str:
+    """One admission round of the incremental-dedup oracle, suffixed so
+    rounds chain: ``admitted{sfx}`` = docs of ``new_cte`` that are not
+    near-dups (band collision + 3-gram Jaccard >= 0.8) of ``corpus_sql``
+    or of an earlier doc in the same batch. Shared by the batch
+    incremental_dedup oracle's shape and the streaming ingest oracle's
+    three chained rounds."""
+    sig_cols = ", ".join(DD.minhash_signature_sql("sh", 8))
+    return f"""
+    allx{sfx} AS (SELECT 'new' AS side, doc_id, text FROM {new_cte}
+                  UNION ALL SELECT 'old' AS side, doc_id, text FROM ({corpus_sql})),
+    s{sfx} AS (SELECT side, doc_id, {DD.shingles_sql('text', 3)} AS sh FROM allx{sfx}),
+    sig{sfx} AS (SELECT side, doc_id, {sig_cols} FROM s{sfx}),
+    bands{sfx} AS (SELECT side, doc_id, b.band_idx,
+              CASE b.band_idx WHEN 0 THEN md5(mh0 || '|' || mh1)
+                              WHEN 1 THEN md5(mh2 || '|' || mh3)
+                              WHEN 2 THEN md5(mh4 || '|' || mh5)
+                              ELSE md5(mh6 || '|' || mh7) END AS band_hash
+              FROM sig{sfx}, (SELECT UNNEST(range(0, 4)) AS band_idx) b),
+    cand{sfx} AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id, o.side AS oside
+             FROM bands{sfx} n JOIN bands{sfx} o
+               ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+             WHERE n.side = 'new'
+               AND (o.side = 'old' OR (o.side = 'new' AND o.doc_id < n.doc_id))),
+    rej{sfx} AS (SELECT DISTINCT c.new_id
+            FROM cand{sfx} c
+            JOIN s{sfx} x ON x.side = 'new' AND x.doc_id = c.new_id
+            JOIN s{sfx} y ON y.side = c.oside AND y.doc_id = c.old_id
+            WHERE FLOOR(LEN(list_intersect(x.sh, y.sh)) * 1000.0
+                        / LEN(list_distinct(x.sh || y.sh))) >= 800),
+    admitted{sfx} AS (SELECT doc_id, text FROM {new_cte}
+                      WHERE doc_id NOT IN (SELECT new_id FROM rej{sfx}))"""
+
+
+@register(
+    "neardup_ingest_stream",
+    f"""
+    -- STREAMING near-dup ingest: three micro-batches drained through
+    -- foreachBatch + incremental_dedup over accumulating admitted +
+    -- band state. The oracle chains three admission rounds: each
+    -- round's corpus = base + every earlier round's admits — so a
+    -- copy of a batch-1 admit MUST be rejected in batch 2 (cross-batch
+    -- state), while novel docs flow through.
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    b1 AS (SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 300 AND 349
+           UNION ALL
+           SELECT doc_id + 20000, text FROM documents WHERE doc_id < 100 AND doc_id % 20 = 0),
+    b2 AS (SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 350 AND 399
+           UNION ALL
+           SELECT doc_id + 21000, text FROM documents WHERE doc_id BETWEEN 300 AND 304
+           UNION ALL
+           SELECT doc_id + 22000, text FROM documents WHERE doc_id < 100 AND doc_id % 25 = 0),
+    b3 AS (SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 400 AND 449
+           UNION ALL
+           SELECT doc_id + 23000, text FROM documents WHERE doc_id BETWEEN 350 AND 354),
+    {_inc_admit_ctes('_r1', 'b1', 'SELECT doc_id, text FROM base')},
+    {_inc_admit_ctes('_r2', 'b2',
+                     'SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM admitted_r1')},
+    {_inc_admit_ctes('_r3', 'b3',
+                     'SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM admitted_r1 '
+                     'UNION ALL SELECT doc_id, text FROM admitted_r2')}
+    SELECT doc_id FROM admitted_r1
+    UNION ALL SELECT doc_id FROM admitted_r2
+    UNION ALL SELECT doc_id FROM admitted_r3
+    """,
+)
+def neardup_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup ingest in the gate (streaming/ingest.py):
+    three synthesized micro-batch files drained through sequential
+    AvailableNow runs (each resumes from the checkpoint — a restart
+    exercise per batch) with foreachBatch incremental admission over
+    the persisted admitted+band state; the final admitted set must
+    equal the oracle's three chained admission rounds. max_bucket=None
+    here for the same reason as minhash_fast_pairs: the oracle states
+    the uncapped truth; production keeps the skew cap."""
+    import tempfile
+
+    from osm2gtfs_spark.streaming import ingest as ING
+
+    d = tpch.load(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 300).select("doc_id", "text")
+
+    def cp(lo, hi, off):
+        return d.filter(F.col("doc_id").between(lo, hi)).select(
+            (F.col("doc_id") + off).alias("doc_id"), "text"
+        )
+
+    planted1 = d.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 20 == 0)).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    planted2b = d.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 25 == 0)).select(
+        (F.col("doc_id") + 22000).alias("doc_id"), "text"
+    )
+    b1 = d.filter(F.col("doc_id").between(300, 349)).select("doc_id", "text").unionByName(planted1)
+    b2 = (
+        d.filter(F.col("doc_id").between(350, 399)).select("doc_id", "text")
+        .unionByName(cp(300, 304, 21000))
+        .unionByName(planted2b)
+    )
+    b3 = d.filter(F.col("doc_id").between(400, 449)).select("doc_id", "text").unionByName(
+        cp(350, 354, 23000)
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/src"
+        state = f"{td}/state"
+        ck = f"{td}/ck"
+        ING.seed_state(base, state)
+        for batch in (b1, b2, b3):
+            batch.coalesce(1).write.mode("append").parquet(src)
+            ING.neardup_ingest_available_now(
+                spark.readStream.schema("doc_id long, text string").parquet(src),
+                base,
+                state,
+                ck,
+                max_bucket=None,
+            )
+        admitted = ING.read_admitted(spark, state).select("doc_id")
+        # materialize off the temp state before it is deleted
+        rows = admitted.collect()
+    return spark.createDataFrame(rows, "doc_id long")
