@@ -661,15 +661,21 @@ def incremental_dedup(
     )
     # the verify join is SIDE-QUALIFIED (review r4): a candidate's old_id
     # resolves against the side that produced it — a doc_id value shared
-    # by the batch and the corpus must never join the wrong text
+    # by the batch and the corpus must never join the wrong text.
+    # Corpus text is semi-join-pruned to the candidate old_ids BEFORE
+    # the shingle projection (review r5): projecting shingles below the
+    # join would 3-gram-shingle EVERY corpus row per call; pruning
+    # first shingles only candidate rows, and with a bucketed/sorted
+    # corpus layout the id filter prunes the scan itself.
+    old_ids = cand_old.select("old_id").distinct()
+    corpus_pruned = (
+        corpus.select(F.col(doc_id).alias("old_id"), F.col(text_col))
+        .join(old_ids, "old_id", "left_semi")
+        .select("old_id", shingles(F.col(text_col)).alias("sh_o"))
+    )
     rej_old = (
         cand_old.join(new_sh, "new_id")
-        .join(
-            corpus.select(
-                F.col(doc_id).alias("old_id"), shingles(F.col(text_col)).alias("sh_o")
-            ),
-            "old_id",
-        )
+        .join(corpus_pruned, "old_id")
         .filter(jac >= jaccard_threshold_permille)
         .select("new_id")
     )

@@ -581,8 +581,11 @@ def raster_regions(
 
     Returns (cell_id, region_id, is_boundary): region_id = the min
     cell id in the region (deterministic); is_boundary = fewer than 4
-    occupied 4-neighbors (grid edges count as unoccupied; longitude
-    wraps at the antimeridian, matching :func:`cell_ring`).
+    DISTINCT occupied 4-neighbors (grid edges count as unoccupied;
+    longitude wraps at the antimeridian, matching :func:`cell_ring`;
+    at res ≤ 1 the wrap neighbors coincide and are deduplicated).
+    ``cells`` must be encoded at exactly ``res`` (the same contract as
+    :func:`cell_ring` / ``cell_parent`` — ids embed their resolution).
 
     Scale shape: neighbor ids are closed-form arithmetic (explode ≤ 4
     per cell) → self equi join on cell id gives the edge list (≈ 2
@@ -590,8 +593,11 @@ def raster_regions(
     pointer-jumping connected components the dedup family uses
     (O(log diameter) rounds, two vertex-id shuffles per round) →
     singleton cells rejoin with their own id as region."""
+    from osm2gtfs_spark.functions.geo import MAX_RES
     from osm2gtfs_spark.operators.dedup import connected_components
 
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     n = 2**res
     base = cells.select(F.col(cell_col).alias("cell_id")).distinct()
     c = F.col("cell_id") - F.lit(res).cast("long") * F.lit(2**52)
@@ -602,13 +608,21 @@ def raster_regions(
         + nx * F.lit(2**26)
         + ny
     )
-    neighbors = F.array_compact(
-        F.array(
-            mk(F.pmod(ix + 1, F.lit(n)), iy),
-            mk(F.pmod(ix - 1, F.lit(n)), iy),
-            F.when(iy + 1 < n, mk(ix, iy + 1)),
-            F.when(iy - 1 >= 0, mk(ix, iy - 1)),
-        )
+    # distinct + self-excluded (review r5): at res<=1 the east and west
+    # wrap neighbors coincide (and at res 0 equal the cell itself) —
+    # without dedup the degree overcounts and boundary flags lie
+    neighbors = F.filter(
+        F.array_distinct(
+            F.array_compact(
+                F.array(
+                    mk(F.pmod(ix + 1, F.lit(n)), iy),
+                    mk(F.pmod(ix - 1, F.lit(n)), iy),
+                    F.when(iy + 1 < n, mk(ix, iy + 1)),
+                    F.when(iy - 1 >= 0, mk(ix, iy - 1)),
+                )
+            )
+        ),
+        lambda x: x != F.col("cell_id"),
     )
     nbr = base.select("cell_id", F.explode(neighbors).alias("_nbr"))
     # occupied neighbors only: equi join against the set itself

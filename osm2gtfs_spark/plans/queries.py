@@ -2099,6 +2099,40 @@ def corpus_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inc_admit_ctes(sfx: str, new_cte: str, corpus_sql: str) -> str:
+    """One admission round of the incremental-dedup oracle, suffixed so
+    rounds chain: ``admitted{sfx}`` = docs of ``new_cte`` that are not
+    near-dups (band collision + 3-gram Jaccard >= 0.8) of ``corpus_sql``
+    or of an earlier doc in the same batch. Shared by the batch
+    incremental_dedup oracle's shape and the streaming ingest oracle's
+    three chained rounds."""
+    sig_cols = ", ".join(DD.minhash_signature_sql("sh", 8))
+    return f"""
+    allx{sfx} AS (SELECT 'new' AS side, doc_id, text FROM {new_cte}
+                  UNION ALL SELECT 'old' AS side, doc_id, text FROM ({corpus_sql})),
+    s{sfx} AS (SELECT side, doc_id, {DD.shingles_sql('text', 3)} AS sh FROM allx{sfx}),
+    sig{sfx} AS (SELECT side, doc_id, {sig_cols} FROM s{sfx}),
+    bands{sfx} AS (SELECT side, doc_id, b.band_idx,
+              CASE b.band_idx WHEN 0 THEN md5(mh0 || '|' || mh1)
+                              WHEN 1 THEN md5(mh2 || '|' || mh3)
+                              WHEN 2 THEN md5(mh4 || '|' || mh5)
+                              ELSE md5(mh6 || '|' || mh7) END AS band_hash
+              FROM sig{sfx}, (SELECT UNNEST(range(0, 4)) AS band_idx) b),
+    cand{sfx} AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id, o.side AS oside
+             FROM bands{sfx} n JOIN bands{sfx} o
+               ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+             WHERE n.side = 'new'
+               AND (o.side = 'old' OR (o.side = 'new' AND o.doc_id < n.doc_id))),
+    rej{sfx} AS (SELECT DISTINCT c.new_id
+            FROM cand{sfx} c
+            JOIN s{sfx} x ON x.side = 'new' AND x.doc_id = c.new_id
+            JOIN s{sfx} y ON y.side = c.oside AND y.doc_id = c.old_id
+            WHERE FLOOR(LEN(list_intersect(x.sh, y.sh)) * 1000.0
+                        / LEN(list_distinct(x.sh || y.sh))) >= 800),
+    admitted{sfx} AS (SELECT doc_id, text FROM {new_cte}
+                      WHERE doc_id NOT IN (SELECT new_id FROM rej{sfx}))"""
+
+
 @register(
     "incremental_dedup",
     f"""
@@ -2112,29 +2146,8 @@ def corpus_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id + 10000 AS doc_id, text FROM documents
         WHERE doc_id < 100 AND doc_id % 10 = 0),
-    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-    allx AS (SELECT 'new' AS side, doc_id, text FROM newd
-             UNION ALL SELECT 'old' AS side, doc_id, text FROM corpus),
-    s AS (SELECT side, doc_id, {DD.shingles_sql('text', 3)} AS sh FROM allx),
-    sig AS (SELECT side, doc_id, {', '.join(DD.minhash_signature_sql('sh', 8))} FROM s),
-    bands AS (SELECT side, doc_id, b.band_idx,
-              CASE b.band_idx WHEN 0 THEN md5(mh0 || '|' || mh1)
-                              WHEN 1 THEN md5(mh2 || '|' || mh3)
-                              WHEN 2 THEN md5(mh4 || '|' || mh5)
-                              ELSE md5(mh6 || '|' || mh7) END AS band_hash
-              FROM sig, (SELECT UNNEST(range(0, 4)) AS band_idx) b),
-    cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id, o.side AS oside
-             FROM bands n JOIN bands o
-               ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
-             WHERE n.side = 'new'
-               AND (o.side = 'old' OR (o.side = 'new' AND o.doc_id < n.doc_id))),
-    rej AS (SELECT DISTINCT c.new_id
-            FROM cand c
-            JOIN s x ON x.side = 'new' AND x.doc_id = c.new_id
-            JOIN s y ON y.side = c.oside AND y.doc_id = c.old_id
-            WHERE FLOOR(LEN(list_intersect(x.sh, y.sh)) * 1000.0
-                        / LEN(list_distinct(x.sh || y.sh))) >= 800)
-    SELECT doc_id FROM newd WHERE doc_id NOT IN (SELECT new_id FROM rej)
+    {_inc_admit_ctes('', 'newd', 'SELECT doc_id, text FROM documents WHERE doc_id < 400')}
+    SELECT doc_id FROM admitted
     """,
 )
 def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2888,40 +2901,6 @@ def raster_region_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = tpch.stops(spark, sf_dir)
     occupied = s.select(_cid("lat", "lon", 5).alias("cell_id"))
     return raster_regions(occupied, res=5)
-
-
-def _inc_admit_ctes(sfx: str, new_cte: str, corpus_sql: str) -> str:
-    """One admission round of the incremental-dedup oracle, suffixed so
-    rounds chain: ``admitted{sfx}`` = docs of ``new_cte`` that are not
-    near-dups (band collision + 3-gram Jaccard >= 0.8) of ``corpus_sql``
-    or of an earlier doc in the same batch. Shared by the batch
-    incremental_dedup oracle's shape and the streaming ingest oracle's
-    three chained rounds."""
-    sig_cols = ", ".join(DD.minhash_signature_sql("sh", 8))
-    return f"""
-    allx{sfx} AS (SELECT 'new' AS side, doc_id, text FROM {new_cte}
-                  UNION ALL SELECT 'old' AS side, doc_id, text FROM ({corpus_sql})),
-    s{sfx} AS (SELECT side, doc_id, {DD.shingles_sql('text', 3)} AS sh FROM allx{sfx}),
-    sig{sfx} AS (SELECT side, doc_id, {sig_cols} FROM s{sfx}),
-    bands{sfx} AS (SELECT side, doc_id, b.band_idx,
-              CASE b.band_idx WHEN 0 THEN md5(mh0 || '|' || mh1)
-                              WHEN 1 THEN md5(mh2 || '|' || mh3)
-                              WHEN 2 THEN md5(mh4 || '|' || mh5)
-                              ELSE md5(mh6 || '|' || mh7) END AS band_hash
-              FROM sig{sfx}, (SELECT UNNEST(range(0, 4)) AS band_idx) b),
-    cand{sfx} AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id, o.side AS oside
-             FROM bands{sfx} n JOIN bands{sfx} o
-               ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
-             WHERE n.side = 'new'
-               AND (o.side = 'old' OR (o.side = 'new' AND o.doc_id < n.doc_id))),
-    rej{sfx} AS (SELECT DISTINCT c.new_id
-            FROM cand{sfx} c
-            JOIN s{sfx} x ON x.side = 'new' AND x.doc_id = c.new_id
-            JOIN s{sfx} y ON y.side = c.oside AND y.doc_id = c.old_id
-            WHERE FLOOR(LEN(list_intersect(x.sh, y.sh)) * 1000.0
-                        / LEN(list_distinct(x.sh || y.sh))) >= 800),
-    admitted{sfx} AS (SELECT doc_id, text FROM {new_cte}
-                      WHERE doc_id NOT IN (SELECT new_id FROM rej{sfx}))"""
 
 
 @register(

@@ -23,10 +23,19 @@ from pyspark.sql import functions as F
 
 @pytest.fixture()
 def warehouse(spark, tmp_path):
-    # saveAsTable writes into the session warehouse; isolate per test
-    names = []
-    yield names
-    for t in names:
+    """saveAsTable writes into the shared session warehouse — uniquify
+    table names per test invocation (tmp_path's basename is unique) so
+    concurrent runs against one metastore cannot collide."""
+    sfx = re.sub(r"[^A-Za-z0-9_]", "_", tmp_path.name).lower()
+    created: list[str] = []
+
+    def mk(base: str) -> str:
+        name = f"{base}_{sfx}"
+        created.append(name)
+        return name
+
+    yield mk
+    for t in created:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -39,10 +48,10 @@ def test_bucketed_join_eliminates_both_shuffles(spark, sf_dir, warehouse):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     left = docs.select("doc_id", "n_chars")
     right = docs.select("doc_id", "lang")
-    for name, df in (("bj_left", left), ("bj_right", right)):
+    tl, tr = warehouse("bj_left"), warehouse("bj_right")
+    for name, df in ((tl, left), (tr, right)):
         df.write.bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable(name)
-        warehouse.append(name)
-    joined = spark.table("bj_left").join(spark.table("bj_right"), "doc_id")
+    joined = spark.table(tl).join(spark.table(tr), "doc_id")
     assert _exchanges(joined) == 0, "co-bucketed join must not shuffle either side"
     # and it is still correct
     assert joined.count() == docs.count()
@@ -50,14 +59,14 @@ def test_bucketed_join_eliminates_both_shuffles(spark, sf_dir, warehouse):
 
 def test_bucketed_join_shuffles_only_probe_side(spark, sf_dir, warehouse):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tb = warehouse("bj_built")
     docs.select("doc_id", "n_chars").write.bucketBy(8, "doc_id").sortBy(
         "doc_id"
-    ).mode("overwrite").saveAsTable("bj_built")
-    warehouse.append("bj_built")
+    ).mode("overwrite").saveAsTable(tb)
     # force SMJ so the bucketed side's no-shuffle property is observable
     # (a broadcast would hide it)
     probe = docs.select("doc_id", "lang").hint("merge")
-    joined = spark.table("bj_built").join(probe, "doc_id")
+    joined = spark.table(tb).join(probe, "doc_id")
     n = _exchanges(joined)
     assert n == 1, f"expected exactly the probe-side shuffle, saw {n} exchanges"
     assert joined.count() == docs.count()
@@ -68,10 +77,10 @@ def test_bucketed_aggregation_reuses_layout(spark, sf_dir, warehouse):
     exchange either — the write-time partitioning serves aggregation
     and join alike."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ta = warehouse("bj_agg")
     docs.select("doc_id", "n_chars").write.bucketBy(8, "doc_id").mode(
         "overwrite"
-    ).saveAsTable("bj_agg")
-    warehouse.append("bj_agg")
-    agg = spark.table("bj_agg").groupBy("doc_id").agg(F.sum("n_chars").alias("s"))
+    ).saveAsTable(ta)
+    agg = spark.table(ta).groupBy("doc_id").agg(F.sum("n_chars").alias("s"))
     assert _exchanges(agg) == 0, "bucket-key aggregation must not shuffle"
     assert agg.count() == docs.select("doc_id").distinct().count()

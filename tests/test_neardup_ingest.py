@@ -75,6 +75,50 @@ def test_neardup_ingest_matches_sequential_replay(spark, tmp_path):
     assert {100, 101, 102, 103, 104, 200, 201, 202, 250, 300} <= got
 
 
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """Review r5: foreachBatch is at-least-once — a REPLAYED batch
+    (same batch_id, state writes already committed) must reproduce the
+    identical partitions, not re-check against its own prior output
+    (which would reject its own admits and overwrite the partition
+    with a subset). process_batch excludes the replaying batch's own
+    partition from the state reads."""
+    base = spark.createDataFrame([(0, _doc(0))], "doc_id long, text string")
+    state = str(tmp_path / "state")
+    ING.seed_state(base, state)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    b1 = spark.createDataFrame(
+        [(10, _doc(10)), (11, _doc(11)), (12, _doc(0))], "doc_id long, text string"
+    )
+    ING.process_batch(b1, 0, base, state)
+    first = ING.read_admitted(spark, state, base).orderBy("doc_id").collect()
+    assert [r.doc_id for r in first] == [10, 11]
+    # crash-after-commit simulation: the exact same batch replays
+    ING.process_batch(b1, 0, base, state)
+    again = ING.read_admitted(spark, state, base).orderBy("doc_id").collect()
+    assert again == first, "replay must rewrite identical state, not a subset"
+    # and a genuine NEXT batch still sees batch 0's admits
+    b2 = spark.createDataFrame([(20, _doc(10))], "doc_id long, text string")
+    ING.process_batch(b2, 1, base, state)
+    final = {r.doc_id for r in ING.read_admitted(spark, state, base).collect()}
+    assert final == {10, 11}, "dup of a batch-0 admit must be rejected in batch 1"
+
+
+def test_neardup_ingest_empty_first_batch_state_readable(spark, tmp_path):
+    """Review r5: a first batch that admits NOTHING creates the state
+    dir with only _SUCCESS; subsequent batches must read it as empty
+    (explicit schema), not crash parquet inference."""
+    base = spark.createDataFrame([(0, _doc(0))], "doc_id long, text string")
+    state = str(tmp_path / "state")
+    ING.seed_state(base, state)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    all_dups = spark.createDataFrame([(10, _doc(0))], "doc_id long, text string")
+    ING.process_batch(all_dups, 0, base, state)  # admits nothing
+    novel = spark.createDataFrame([(20, _doc(20))], "doc_id long, text string")
+    ING.process_batch(novel, 1, base, state)  # must not raise
+    got = {r.doc_id for r in ING.read_admitted(spark, state, base).collect()}
+    assert got == {20}
+
+
 def test_neardup_ingest_restart_is_idempotent(spark, tmp_path):
     base = spark.createDataFrame([(0, _doc(0))], "doc_id long, text string")
     state = str(tmp_path / "state")

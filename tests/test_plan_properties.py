@@ -35,7 +35,9 @@ GUARDED = {
     "corpus_prep_pipeline": 0,
     "corpus_prep_packed": 0,
     "snap_to_polyline": 0,
-    "raster_region_extract": 0,
+    # raster_region_extract is NOT guarded: constructing it EXECUTES the
+    # iterative connected-components rounds (like dedup_components, also
+    # unguarded) and the final plan would not cover those rounds anyway
     "corpus_stats_artifact": 0,
     "media_decode_meta_real": 1,
     "sessionize_batch": 0,

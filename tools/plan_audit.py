@@ -57,7 +57,8 @@ AUDIT = [
     "minhash_fast_pairs",
     "corpus_prep_packed",
     "snap_to_polyline",
-    "raster_region_extract",
+    # raster_region_extract excluded: plan construction executes the CC
+    # rounds and the emitted plan covers only the post-CC tail
 ]
 
 
