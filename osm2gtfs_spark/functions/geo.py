@@ -201,6 +201,64 @@ def cell_ixiy_sql(lat_expr: str, lon_expr: str, res: int) -> tuple[str, str]:
     return ix, iy
 
 
+# Standard geohash base-32 alphabet (public spec: no a, i, l, o).
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat, lon, length: int) -> Column:
+    """Standard geohash string of ``length`` characters (pure codegen).
+
+    A geohash interleaves lon/lat bisection bits starting with
+    longitude at the most significant position, then base-32 encodes
+    5-bit groups. That is exactly the :func:`morton_key` word read
+    MSB-first — x (lon) sits in odd bit positions, so the top bit of
+    the 2·res-bit word is lon's MSB — so the encoder is the existing
+    spread-bits ladder plus a per-5-bit alphabet lookup.
+
+    ``length`` must be even (odd lengths give lon one extra bit —
+    a second ladder for an asymmetric split isn't worth the surface).
+    The per-axis resolution is ``5·length/2`` bits (≤ ``MAX_RES+1``).
+
+    Interop column: prefix-match grouping on geohash strings equals
+    cell-hierarchy grouping, and external systems (Redis GEO, ES)
+    accept the value as-is. Zero UDFs, zero shuffles.
+    """
+    if length % 2 != 0 or length <= 0:
+        raise ValueError(f"length must be a positive even int, got {length}")
+    res = 5 * length // 2
+    if res > MAX_RES + 1:
+        raise ValueError(f"length={length} needs {res} bits/axis > {MAX_RES + 1}")
+    mz = F.shiftleft(_spread_bits(cell_ix(lon, res)), 1).bitwiseOR(
+        _spread_bits(cell_iy(lat, res))
+    )
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH_B32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(mz, 5 * (length - 1 - i)).bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for i in range(length)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, length: int) -> str:
+    """The identical geohash encoding as ANSI SQL (DuckDB oracle).
+
+    The spread ladder substitutes its operand repeatedly, so this
+    emits a two-CTE-friendly single expression over precomputed ix/iy
+    column refs: pass SHORT refs via an outer CTE exactly like
+    :func:`morton_from_ixiy_sql` (use :func:`cell_ixiy_sql` first and
+    feed this the resulting column names)."""
+    if length % 2 != 0 or length <= 0:
+        raise ValueError(f"length must be a positive even int, got {length}")
+    chars = [
+        f"SUBSTR('{GEOHASH_B32}', CAST(((mz >> {5 * (length - 1 - i)}) & 31) + 1 AS INT), 1)"
+        for i in range(length)
+    ]
+    return " || ".join(chars)
+
+
 # transitfeed's ApproximateDistance radius — its time interpolation and
 # the golden feeds depend on this exact constant
 TRANSITFEED_RADIUS_M = 6367000.0

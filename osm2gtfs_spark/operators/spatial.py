@@ -566,6 +566,156 @@ def snap_to_polyline(
     )
 
 
+def within_distance_pairs(
+    points: DataFrame,
+    res: int,
+    radius_deg: float,
+    key_col: str = "stop_key",
+    k_ring: int = 1,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Spatial SELF-join: every unordered pair of points within
+    ``radius_deg`` (squared-degree Euclidean in the equirectangular
+    plane), via the same cell-bucket discipline as :func:`knn_snap` —
+    never a cross join.
+
+    The reference needs exactly this shape when it merges stop_area
+    candidates by proximity (``osm2gtfs/core/osm_connector.py:258-283``
+    walks all pairs serially); here the pair space is pruned to cells
+    within Chebyshev ring ``k_ring`` before any distance math runs.
+
+    Correct-by-construction ring: a pair at distance ≤ r can only span
+    cells whose Chebyshev cell-distance is ≤ ceil(r / min_cell_dim), so
+    ``radius_deg`` must satisfy ``radius_deg <= k_ring * 180 / 2^res``
+    (the latitude cell height is the smaller dimension) — violating
+    that silently drops pairs, so it raises instead.
+
+    Each unordered pair is emitted EXACTLY once as (key_a < key_b):
+    the probe side explodes its ring, the build side carries its own
+    single cell, so a pair is found only from the probe row whose ring
+    contains the partner's cell — once per direction — and the key
+    ordering keeps one direction.
+
+    Scale shape: shuffle keyed by cell id, probe fanout (2k+1)^2,
+    build side not replicated; per-cell candidate sets bounded by cell
+    area (dense urban cells are ordinary AQE skew). The oracle replay
+    is the O(n^2) brute-force join — tractable only at gate scale,
+    which is precisely the point: the bucketed plan must reproduce the
+    quadratic semantics exactly.
+    """
+    min_cell_dim = 180.0 / (2**res)
+    if radius_deg > k_ring * min_cell_dim:
+        raise ValueError(
+            f"radius_deg={radius_deg} exceeds ring reach "
+            f"{k_ring} * {min_cell_dim} at res={res}; pairs would be dropped "
+            f"— use a coarser res or a larger k_ring"
+        )
+    probe = points.select(
+        F.col(key_col).alias("key_a"),
+        F.col("lat").alias("_a_lat"),
+        F.col("lon").alias("_a_lon"),
+        *[F.col(c).alias(f"a_{c}") for c in carry_cols],
+        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("_cell"),
+    )
+    build = points.select(
+        F.col(key_col).alias("key_b"),
+        F.col("lat").alias("_b_lat"),
+        F.col("lon").alias("_b_lon"),
+        *[F.col(c).alias(f"b_{c}") for c in carry_cols],
+        cell_id("lat", "lon", res).alias("_cell"),
+    )
+    dlat = F.col("_a_lat") - F.col("_b_lat")
+    dlon = F.col("_a_lon") - F.col("_b_lon")
+    d2 = dlat * dlat + dlon * dlon
+    return (
+        probe.join(build, "_cell")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(d2 <= F.lit(radius_deg) * F.lit(radius_deg))
+        .select(
+            "key_a",
+            "key_b",
+            *[f"a_{c}" for c in carry_cols],
+            *[f"b_{c}" for c in carry_cols],
+        )
+    )
+
+
+def polygon_stats(
+    polygons: DataFrame,
+    id_col: str = "polygon_id",
+    vertices_col: str = "vertices",
+    int_scale: int | None = None,
+) -> DataFrame:
+    """Per-polygon shoelace area + centroid numerators over a polygon
+    TABLE (vertices ``array<struct<lat,lon>>``, CCW, closed implicitly).
+
+    Shoelace with lon as x, lat as y: each directed edge (v1→v2)
+    contributes cross term c = x1·y2 − x2·y1; 2·area = Σc; the area
+    centroid is (Σ(x1+x2)·c, Σ(y1+y2)·c) / (3·Σc).
+
+    Two dialects:
+    - ``int_scale=None`` (production): per-edge terms summed as doubles
+      with ``F.aggregate`` over the vertex array — a sequential fold in
+      vertex order, deterministic for a given row, no shuffle at all
+      (per-row column math; area/centroid emitted as doubles).
+    - ``int_scale=k`` (oracle-exact): per-edge terms floored to
+      integers at scale k BEFORE summing, sums emitted as BIGINT
+      (``area2_ek``, ``cx_num_ek``, ``cy_num_ek``) — addition order
+      cannot change the result, so the DuckDB replay is hash-identical.
+      Centroid = (cx_num / (3·area2), cy_num / (3·area2)) downstream.
+
+    Scale shape: zero joins, zero shuffles — pure per-row codegen over
+    the vertex array; 10^12 polygons stream through map tasks.
+    """
+    succ = F.concat(
+        F.slice(vertices_col, 2, F.size(vertices_col) - 1),
+        F.slice(vertices_col, 1, 1),
+    )
+    edges = F.arrays_zip(F.col(vertices_col).alias("v1"), succ.alias("v2"))
+
+    def _cross(e):
+        return e["v1"]["lon"] * e["v2"]["lat"] - e["v2"]["lon"] * e["v1"]["lat"]
+
+    if int_scale is None:
+        zero = F.lit(0.0)
+        a2 = F.aggregate(edges, zero, lambda acc, e: acc + _cross(e))
+        cx = F.aggregate(
+            edges, zero, lambda acc, e: acc + (e["v1"]["lon"] + e["v2"]["lon"]) * _cross(e)
+        )
+        cy = F.aggregate(
+            edges, zero, lambda acc, e: acc + (e["v1"]["lat"] + e["v2"]["lat"]) * _cross(e)
+        )
+        return polygons.select(
+            F.col(id_col),
+            (a2 / 2).alias("area_deg2"),
+            (cx / (F.lit(3.0) * a2)).alias("centroid_lon"),
+            (cy / (F.lit(3.0) * a2)).alias("centroid_lat"),
+            F.size(vertices_col).alias("n_vertices"),
+        )
+    s = F.lit(float(int_scale))
+    zero_l = F.lit(0).cast("long")
+    a2 = F.aggregate(edges, zero_l, lambda acc, e: acc + F.floor(_cross(e) * s).cast("long"))
+    cx = F.aggregate(
+        edges,
+        zero_l,
+        lambda acc, e: acc
+        + F.floor((e["v1"]["lon"] + e["v2"]["lon"]) * _cross(e) * s).cast("long"),
+    )
+    cy = F.aggregate(
+        edges,
+        zero_l,
+        lambda acc, e: acc
+        + F.floor((e["v1"]["lat"] + e["v2"]["lat"]) * _cross(e) * s).cast("long"),
+    )
+    return polygons.select(
+        F.col(id_col),
+        a2.alias("area2_scaled"),
+        cx.alias("cx_num_scaled"),
+        cy.alias("cy_num_scaled"),
+        F.size(vertices_col).alias("n_vertices"),
+    )
+
+
 def raster_regions(
     cells: DataFrame,
     res: int,

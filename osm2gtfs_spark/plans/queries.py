@@ -70,7 +70,11 @@ def register(name: str, sql: str | None = None):
 # pytest coverage and 4 rounds of green driver records (r1–r4 artifacts
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
-    # round 5 (newest first — driver-certified nowhere yet)
+    # round 5 continuation (newest first — driver-certified nowhere yet)
+    "within_distance_pairs",
+    "polygon_area_centroid",
+    "geohash_encode",
+    # round 5 (driver-certified nowhere yet)
     "neardup_ingest_stream",
     "raster_region_extract",
     "snap_to_polyline",
@@ -2990,3 +2994,145 @@ def neardup_ingest_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize off the temp state before it is deleted
         rows = admitted.collect()
     return spark.createDataFrame(rows, "doc_id long")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: spatial pair join, polygon measures, geohash interop
+# ---------------------------------------------------------------------------
+
+@register(
+    "within_distance_pairs",
+    f"""
+    -- brute-force O(n^2) truth for the cell-bucketed pair join: the
+    -- engine prunes to Chebyshev ring k=1 at res 6 before any distance
+    -- math; the oracle compares EVERY pair. Identical IEEE predicate,
+    -- so the bucketed plan must reproduce quadratic semantics exactly.
+    WITH s AS ({tpch.STOPS_SQL})
+    SELECT a.stop_key AS key_a, b.stop_key AS key_b
+    FROM s a JOIN s b
+      ON a.stop_key < b.stop_key
+     AND ((a.lat - b.lat) * (a.lat - b.lat)
+        + (a.lon - b.lon) * (a.lon - b.lon)) <= 2.8 * 2.8
+    """,
+)
+def within_distance_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All stop pairs within 2.8 degrees, via cell-bucket self-join (no
+    cross join; ring reach — k·180/2^res = 2.8125° — is validated
+    against the radius at plan build). The oracle is the quadratic
+    brute force — tractable only at gate scale, which is the point of
+    the comparison: the bucketed plan must reproduce it exactly."""
+    from osm2gtfs_spark.operators.spatial import within_distance_pairs
+
+    return within_distance_pairs(
+        tpch.stops(spark, sf_dir), res=6, radius_deg=2.8, k_ring=1
+    )
+
+
+@register(
+    "polygon_area_centroid",
+    f"""
+    -- shoelace area + area-centroid numerators over the nation-diamond
+    -- polygon table; per-edge cross terms floored to e6 integers BEFORE
+    -- summing so addition order cannot change the result (the engine
+    -- folds the vertex array sequentially; the oracle sums 4 explicit
+    -- edge terms — both see identical IEEE products).
+    WITH p AS (SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+                  ((n_nationkey * 31) % 120) - 60 + 0.5 AS lat0,
+                  ((n_nationkey * 47) % 300) - 150 + 0.5 AS lon0,
+                  (n_nationkey % 5) + 3.0 AS dy,
+                  (n_nationkey % 7) + 4.0 AS dx
+           FROM nation),
+     v AS (SELECT polygon_id,
+                  lat0 - dy AS alat, lon0 AS alon,
+                  lat0 AS blat, lon0 + dx AS blon,
+                  lat0 + dy AS clat, lon0 AS clon,
+                  lat0 AS elat, lon0 - dx AS elon
+           FROM p)
+    SELECT polygon_id,
+           CAST(FLOOR((alon * blat - blon * alat) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR((blon * clat - clon * blat) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR((clon * elat - elon * clat) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR((elon * alat - alon * elat) * 1000000.0) AS BIGINT)
+           AS area2_scaled,
+           CAST(FLOOR(((alon + blon) * (alon * blat - blon * alat)) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR(((blon + clon) * (blon * clat - clon * blat)) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR(((clon + elon) * (clon * elat - elon * clat)) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR(((elon + alon) * (elon * alat - alon * elat)) * 1000000.0) AS BIGINT)
+           AS cx_num_scaled,
+           CAST(FLOOR(((alat + blat) * (alon * blat - blon * alat)) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR(((blat + clat) * (blon * clat - clon * blat)) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR(((clat + elat) * (clon * elat - elon * clat)) * 1000000.0) AS BIGINT)
+         + CAST(FLOOR(((elat + alat) * (elon * alat - alon * elat)) * 1000000.0) AS BIGINT)
+           AS cy_num_scaled,
+           4 AS n_vertices
+    FROM v
+    """,
+)
+def polygon_area_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace area + centroid over a polygon TABLE (vertex arrays) in
+    the oracle-exact integer dialect — zero joins, zero shuffles, pure
+    per-row codegen over the array (operators/spatial.polygon_stats)."""
+    from osm2gtfs_spark.operators.spatial import polygon_stats
+
+    n = tpch.load(spark, sf_dir, "nation")
+    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
+    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
+    dy = (F.col("n_nationkey") % 5) + 3.0
+    dx = (F.col("n_nationkey") % 7) + 4.0
+    polygons = n.select(
+        F.col("n_nationkey").cast("long").alias("polygon_id"),
+        F.array(
+            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
+            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
+        ).alias("vertices"),
+    )
+    out = polygon_stats(polygons, int_scale=1_000_000)
+    return out.select(
+        "polygon_id",
+        "area2_scaled",
+        "cx_num_scaled",
+        "cy_num_scaled",
+        F.col("n_vertices").cast("int").alias("n_vertices"),
+    )
+
+
+from osm2gtfs_spark.functions.geo import (  # noqa: E402
+    cell_ixiy_sql as _cixy_sql,
+    geohash_sql as _gh_sql,
+    morton_from_ixiy_sql as _mz_sql,
+)
+
+_GH_IX10, _GH_IY10 = _cixy_sql("lat", "lon", 10)
+_GH_IX15, _GH_IY15 = _cixy_sql("lat", "lon", 15)
+
+
+@register(
+    "geohash_encode",
+    f"""
+    -- standard geohash (public base-32 spec) at 4 and 6 chars: the
+    -- Morton word read MSB-first, 5 bits per character. ix/iy and the
+    -- spread ladder are computed in CTE stages because the ladder
+    -- substitutes its operand 2^5 times.
+    WITH s AS ({tpch.STOPS_SQL}),
+     g4 AS (SELECT stop_key, {_GH_IX10} AS ix, {_GH_IY10} AS iy FROM s),
+     m4 AS (SELECT stop_key, {_mz_sql('ix', 'iy')} AS mz FROM g4),
+     h4 AS (SELECT stop_key, {_gh_sql('lat', 'lon', 4)} AS gh4 FROM m4),
+     g6 AS (SELECT stop_key, {_GH_IX15} AS ix, {_GH_IY15} AS iy FROM s),
+     m6 AS (SELECT stop_key, {_mz_sql('ix', 'iy')} AS mz FROM g6),
+     h6 AS (SELECT stop_key, {_gh_sql('lat', 'lon', 6)} AS gh6 FROM m6)
+    SELECT h4.stop_key, h4.gh4, h6.gh6
+    FROM h4 JOIN h6 ON h4.stop_key = h6.stop_key
+    """,
+)
+def geohash_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash interop column at two precisions (functions/geo.geohash):
+    pure codegen spread-bits + alphabet lookup, no UDFs, no shuffle."""
+    from osm2gtfs_spark.functions.geo import geohash
+
+    return tpch.stops(spark, sf_dir).select(
+        "stop_key",
+        geohash("lat", "lon", 4).alias("gh4"),
+        geohash("lat", "lon", 6).alias("gh6"),
+    )
