@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "convex_hull",
     "within_distance_pairs",
     "polygon_area_centroid",
     "geohash_encode",
@@ -3136,3 +3137,66 @@ def geohash_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         geohash("lat", "lon", 4).alias("gh4"),
         geohash("lat", "lon", 6).alias("gh6"),
     )
+
+
+def _hull_cross(p: str) -> str:
+    """cross((b-a), (p-a)) with lon as x, lat as y — the exact IEEE
+    expression the Spark operator evaluates per candidate."""
+    return f"((e.bx - e.ax) * ({p}.y - e.ay) - (e.by - e.ay) * ({p}.x - e.ax))"
+
+
+@register(
+    "convex_hull",
+    f"""
+    -- recursive-CTE replay of distributed QuickHull: same L/R seeding
+    -- (lexicographic extremes), same strictly-left farthest-point
+    -- argmax with (cross, key) tie-break, same edge splits — so the
+    -- FINAL edge set, hence the vertex set, must match the engine's
+    -- driver-bounded iteration exactly. The argmax is a NOT EXISTS
+    -- (no aggregates/windows allowed in a recursive term).
+    WITH RECURSIVE
+    s0 AS ({tpch.STOPS_SQL}),
+    s AS (SELECT stop_key AS key, nationkey AS grp, lon AS x, lat AS y FROM s0),
+    ordered AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, y, key) rn,
+                          COUNT(*) OVER (PARTITION BY grp) cnt FROM s),
+    lpt AS (SELECT grp, key, x, y FROM ordered WHERE rn = 1),
+    rpt AS (SELECT grp, key, x, y FROM ordered WHERE rn = cnt),
+    edges(grp, akey, ax, ay, bkey, bx, by) AS (
+        SELECT l.grp, l.key, l.x, l.y, r.key, r.x, r.y
+        FROM lpt l JOIN rpt r ON l.grp = r.grp
+        UNION
+        SELECT r.grp, r.key, r.x, r.y, l.key, l.x, l.y
+        FROM lpt l JOIN rpt r ON l.grp = r.grp
+        UNION
+        SELECT e.grp,
+               CASE WHEN t.side = 0 THEN e.akey ELSE p.key END,
+               CASE WHEN t.side = 0 THEN e.ax ELSE p.x END,
+               CASE WHEN t.side = 0 THEN e.ay ELSE p.y END,
+               CASE WHEN t.side = 0 THEN p.key ELSE e.bkey END,
+               CASE WHEN t.side = 0 THEN p.x ELSE e.bx END,
+               CASE WHEN t.side = 0 THEN p.y ELSE e.by END
+        FROM edges e
+        JOIN s p ON p.grp = e.grp AND {_hull_cross('p')} > 0
+        CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM s p2 WHERE p2.grp = e.grp
+            AND ({_hull_cross('p2')} > {_hull_cross('p')}
+              OR ({_hull_cross('p2')} = {_hull_cross('p')} AND p2.key > p.key)))
+    ),
+    final AS (
+      SELECT e.* FROM edges e
+      WHERE NOT EXISTS (SELECT 1 FROM s p
+                        WHERE p.grp = e.grp AND {_hull_cross('p')} > 0))
+    SELECT DISTINCT CAST(grp AS BIGINT) AS nationkey, akey AS stop_key FROM final
+    """,
+)
+def convex_hull_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation convex hull vertices of the stop set via distributed
+    QuickHull (operators/spatial.convex_hull): a driver-bounded
+    O(log hull) iteration where each round is one broadcast-frontier
+    scan + per-edge max(struct) argmax; only the O(hull) edge frontier
+    ever reaches the driver. Eager at construction (like
+    dedup_components) — keep out of plan-audit sets."""
+    from osm2gtfs_spark.operators.spatial import convex_hull
+
+    return convex_hull(tpch.stops(spark, sf_dir))
