@@ -837,6 +837,257 @@ def convex_hull(
         src.unpersist()
 
 
+def _dp_group(pdf, eps: float):
+    """Classic iterative Douglas-Peucker over ONE polyline's pandas
+    frame — the small-group kernel of :func:`simplify_polyline`.
+
+    Bit-exact with the distributed frontier and the SQL oracle: every
+    arithmetic step is the same IEEE-double expression in the same
+    association order (cross², (eps·eps)·len2, strict >), and numpy
+    float64 elementwise ops are IEEE — so the kept set is identical.
+    Argmax tie-break = largest seq (reversed argmax picks the LAST
+    maximum), matching ``max(struct(m, i))``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(pdf["_i"].to_numpy(), kind="stable")
+    seqs = pdf["_i"].to_numpy()[order]
+    xs = pdf["_x"].to_numpy()[order]
+    ys = pdf["_y"].to_numpy()[order]
+    n = len(seqs)
+    e2 = eps * eps
+    kept: set[int] = set()
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            kept.add(lo)
+            kept.add(hi)
+            continue
+        ax, ay, bx, by = xs[lo], ys[lo], xs[hi], ys[hi]
+        len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        if len2 == 0.0:
+            dx = xs[lo + 1 : hi] - ax
+            dy = ys[lo + 1 : hi] - ay
+            m = dx * dx + dy * dy
+            th = e2
+        else:
+            cr = (bx - ax) * (ys[lo + 1 : hi] - ay) - (by - ay) * (xs[lo + 1 : hi] - ax)
+            m = cr * cr
+            th = e2 * len2
+        j = len(m) - 1 - int(np.argmax(m[::-1]))
+        if float(m[j]) > th:
+            k = lo + 1 + j
+            stack.append((lo, k))
+            stack.append((k, hi))
+        else:
+            kept.add(lo)
+            kept.add(hi)
+    out = sorted(int(seqs[i]) for i in kept)
+    return pd.DataFrame({"_g": [int(pdf["_g"].iloc[0])] * len(out), "_i": out})
+
+
+def simplify_polyline(
+    points: DataFrame,
+    eps: float,
+    group_col: str = "shape_id",
+    seq_col: str = "seq",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    small_threshold: int = 100_000,
+    max_iters: int = 64,
+    max_ranges: int = 100_000,
+) -> DataFrame:
+    """Distributed Douglas-Peucker: per-polyline vertex subset whose
+    chords never deviate more than ``eps`` (perpendicular line
+    distance, equirectangular plane) — shape thinning for the GTFS
+    shapes.txt the reference emits verbatim (``shapes_creator``; at
+    10^12 points verbatim is not an option).
+
+    Hybrid execution, same discipline as ``global_index``'s
+    small-threshold fallback: polylines with ≤ ``small_threshold``
+    vertices (virtually all of them) run the classic stack-based DP
+    in ONE ``applyInPandas`` job — a single shuffle keyed by polyline,
+    no driver loop. Only polylines LARGER than the threshold (a
+    continent-length trace that would OOM one task) go through the
+    broadcast-frontier loop: (group, i0, i1) chord ranges; each round
+    one distributed job finds, per range, the interior vertex
+    maximizing squared deviation (``max(struct(cross², seq))`` —
+    map-side combined, deterministic tie-break on seq), keeps ranges
+    whose maximum is within tolerance, and the driver splits the rest
+    at their argmax. Rounds = O(log output); only the O(output)-sized
+    frontier of the FEW giant polylines reaches the driver
+    (``max_ranges`` guard) — the threshold is also what bounds the
+    driver-side extents collect at 10^12-point scale.
+
+    Exactness dialect (all three paths — kernel, frontier, oracle):
+    deviation² > eps² is compared as cross² > (eps·eps)·|b−a|² — all
+    IEEE products, no division, no sqrt — so the DuckDB oracle
+    replays the identical recursion. A zero-length chord (duplicate
+    anchor coords) falls back to squared point distance.
+
+    Returns (group_col, seq_col): the kept vertices.
+    """
+    session = points.sparkSession
+    src = (
+        points.select(
+            F.col(group_col).alias("_g"),
+            F.col(seq_col).alias("_i"),
+            F.col(x_col).cast("double").alias("_x"),
+            F.col(y_col).cast("double").alias("_y"),
+        )
+        .persist()
+    )
+    try:
+        big_rows = (
+            src.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > small_threshold)
+            .select("_g")
+            .collect()
+        )
+        big_ids = [r["_g"] for r in big_rows]
+        small = src
+        if big_ids:
+            big_df = session.createDataFrame([(g,) for g in big_ids], "_g long")
+            small = src.join(F.broadcast(big_df), "_g", "left_anti")
+        small_kept = (
+            small.groupBy("_g")
+            .applyInPandas(lambda pdf: _dp_group(pdf, eps), "_g long, _i long")
+            .select(F.col("_g").alias(group_col), F.col("_i").alias(seq_col))
+        )
+        if not big_ids:
+            return small_kept
+        big = src.join(
+            F.broadcast(session.createDataFrame([(g,) for g in big_ids], "_g long")),
+            "_g",
+            "left_semi",
+        )
+        big_kept = _dp_frontier(big, eps, max_iters, max_ranges)
+        return small_kept.unionByName(
+            session.createDataFrame(big_kept, f"{group_col} long, {seq_col} long")
+        )
+    finally:
+        src.unpersist()
+
+
+def _dp_frontier(
+    src: DataFrame, eps: float, max_iters: int, max_ranges: int
+) -> list[tuple]:
+    """Broadcast-frontier Douglas-Peucker over (_g,_i,_x,_y) rows —
+    the giant-polyline path of :func:`simplify_polyline`. Returns the
+    kept (group, seq) pairs (driver-bounded by ``max_ranges``)."""
+    ext = (
+        src.groupBy("_g")
+        .agg(
+            F.min(F.struct("_i", "_x", "_y")).alias("lo"),
+            F.max(F.struct("_i", "_x", "_y")).alias("hi"),
+        )
+        .collect()
+    )
+    pending: set[tuple] = set()
+    for r in ext:
+        lo, hi = r["lo"], r["hi"]
+        pending.add((r["_g"], lo["_i"], lo["_x"], lo["_y"], hi["_i"], hi["_x"], hi["_y"]))
+    range_schema = (
+        "_g long, i0 long, ax double, ay double, i1 long, bx double, by double"
+    )
+    final: set[tuple] = set()
+    it = 0
+    while pending:
+        it += 1
+        if it > max_iters:
+            raise RuntimeError(
+                f"simplify_polyline did not converge in {max_iters} rounds"
+            )
+        if len(pending) + len(final) > max_ranges:
+            raise RuntimeError(
+                f"range frontier exceeds max_ranges={max_ranges}"
+            )
+        ranges_df = src.sparkSession.createDataFrame(sorted(pending), range_schema)
+        len2 = (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax")) + (
+            F.col("by") - F.col("ay")
+        ) * (F.col("by") - F.col("ay"))
+        cross = (F.col("bx") - F.col("ax")) * (F.col("_y") - F.col("ay")) - (
+            F.col("by") - F.col("ay")
+        ) * (F.col("_x") - F.col("ax"))
+        dx = F.col("_x") - F.col("ax")
+        dy = F.col("_y") - F.col("ay")
+        m = F.when(len2 == 0, dx * dx + dy * dy).otherwise(cross * cross)
+        thresh = F.when(len2 == 0, F.lit(eps * eps)).otherwise(F.lit(eps) * F.lit(eps) * len2)
+        far = (
+            src.join(F.broadcast(ranges_df), "_g")
+            .filter((F.col("_i") > F.col("i0")) & (F.col("_i") < F.col("i1")))
+            .withColumn("_m", m)
+            .withColumn("_th", thresh)
+            .groupBy("_g", "i0", "i1")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_m").alias("m"),
+                        F.col("_i").alias("i"),
+                        F.col("_x").alias("x"),
+                        F.col("_y").alias("y"),
+                    )
+                ).alias("mx"),
+                F.first("_th").alias("th"),
+            )
+            .filter(F.col("mx.m") > F.col("th"))
+            .collect()
+        )
+        split = {(r["_g"], r["i0"], r["i1"]): r["mx"] for r in far}
+        nxt: set[tuple] = set()
+        for e in pending:
+            g, i0, ax, ay, i1, bx, by = e
+            mx = split.get((g, i0, i1))
+            if mx is None:
+                final.add(e)
+            else:
+                nxt.add((g, i0, ax, ay, mx["i"], mx["x"], mx["y"]))
+                nxt.add((g, mx["i"], mx["x"], mx["y"], i1, bx, by))
+        pending = nxt
+    return sorted(
+        {(g, i0) for (g, i0, *_r) in final}
+        | {(g, i1) for (g, _a, _b, _c, i1, *_r) in final}
+    )
+
+
+def polyline_chainage(
+    points: DataFrame,
+    group_col: str = "shape_id",
+    seq_col: str = "seq",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    int_scale: int | None = None,
+) -> DataFrame:
+    """Cumulative distance along each polyline (the shape_dist_traveled
+    column of GTFS shapes.txt, reference ``shapes_creator``): per-vertex
+    running sum of planar segment lengths, as ONE ordered window per
+    group — no joins, no driver loop.
+
+    ``int_scale=k`` is the oracle-exact dialect: each segment length is
+    ``floor(sqrt(dx²+dy²)·k)`` — IEEE sqrt is correctly rounded, so the
+    per-segment BIGINT is bit-identical in any engine, and integer
+    cumulative sums are order-independent. ``int_scale=None`` keeps
+    doubles (production; meters would swap in haversine).
+
+    Scale shape: one shuffle keyed by group (the window partition);
+    within-partition sort by seq — the same cost profile as W2
+    stop_sequence numbering.
+    """
+    w = Window.partitionBy(group_col).orderBy(seq_col)
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    step = F.sqrt(dx * dx + dy * dy)
+    if int_scale is None:
+        chain = F.sum(F.coalesce(step, F.lit(0.0))).over(w)
+        return points.withColumn("chainage", chain)
+    step_i = F.floor(step * F.lit(float(int_scale))).cast("long")
+    chain = F.sum(F.coalesce(step_i, F.lit(0).cast("long"))).over(w)
+    return points.withColumn("chainage_scaled", chain)
+
+
 def raster_regions(
     cells: DataFrame,
     res: int,

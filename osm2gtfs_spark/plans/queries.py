@@ -71,6 +71,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "polyline_simplify",
+    "polyline_chainage",
     "convex_hull",
     "within_distance_pairs",
     "polygon_area_centroid",
@@ -3200,3 +3202,119 @@ def convex_hull_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2gtfs_spark.operators.spatial import convex_hull
 
     return convex_hull(tpch.stops(spark, sf_dir))
+
+
+# deterministic polyline synth: 25 shapes, vertex order = key // 25
+_SHAPES_SQL = f"""
+    SELECT c_custkey % 25 AS shape_id, c_custkey // 25 AS seq,
+           {tpch.derived_lon_sql('c_custkey')} AS x,
+           {tpch.derived_lat_sql('c_custkey')} AS y
+    FROM customer
+"""
+
+
+def _dp_cross(p: str) -> str:
+    """Deviation cross term of point {p} from chord a→b (both anchor
+    rows joined from s) — the exact IEEE expression the engine uses."""
+    return f"((b.x - a.x) * ({p}.y - a.y) - (b.y - a.y) * ({p}.x - a.x))"
+
+
+_DP_EPS = 80.0
+_DPC = _dp_cross("p")
+_DPC2 = _dp_cross("p2")
+_DP_LEN2 = "((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))"
+
+
+@register(
+    "polyline_simplify",
+    f"""
+    -- recursive-CTE replay of distributed Douglas-Peucker: same range
+    -- frontier, same strictly-greater deviation argmax with seq
+    -- tie-break, same split rule (cross² > eps²·len², no division, no
+    -- sqrt) — the kept-vertex set must match the engine's iteration
+    -- exactly. Shapes are the deterministic 25-polyline synth above;
+    -- anchor coords are unique, so the zero-length-chord branch never
+    -- fires in either engine.
+    WITH RECURSIVE
+    s AS ({_SHAPES_SQL}),
+    bounds AS (SELECT shape_id AS grp, MIN(seq) AS lo, MAX(seq) AS hi FROM s GROUP BY 1),
+    ranges(grp, i0, i1) AS (
+        SELECT grp, lo, hi FROM bounds
+        UNION
+        SELECT r.grp, u.i0, u.i1
+        FROM ranges r
+        JOIN s a ON a.shape_id = r.grp AND a.seq = r.i0
+        JOIN s b ON b.shape_id = r.grp AND b.seq = r.i1
+        JOIN s p ON p.shape_id = r.grp AND p.seq > r.i0 AND p.seq < r.i1
+               AND {_DPC} * {_DPC} > {_DP_EPS} * {_DP_EPS} * {_DP_LEN2}
+        CROSS JOIN (SELECT 0 AS side UNION ALL SELECT 1) t
+        JOIN LATERAL (SELECT CASE WHEN t.side = 0 THEN r.i0 ELSE p.seq END AS i0,
+                             CASE WHEN t.side = 0 THEN p.seq ELSE r.i1 END AS i1) u ON TRUE
+        WHERE NOT EXISTS (
+          SELECT 1 FROM s p2 WHERE p2.shape_id = r.grp AND p2.seq > r.i0 AND p2.seq < r.i1
+            AND ({_DPC2} * {_DPC2} > {_DPC} * {_DPC}
+              OR ({_DPC2} * {_DPC2} = {_DPC} * {_DPC} AND p2.seq > p.seq)))
+    ),
+    final AS (
+      SELECT r.* FROM ranges r
+      JOIN s a ON a.shape_id = r.grp AND a.seq = r.i0
+      JOIN s b ON b.shape_id = r.grp AND b.seq = r.i1
+      WHERE NOT EXISTS (
+        SELECT 1 FROM s p WHERE p.shape_id = r.grp AND p.seq > r.i0 AND p.seq < r.i1
+          AND {_DPC} * {_DPC} > {_DP_EPS} * {_DP_EPS} * {_DP_LEN2}))
+    SELECT grp AS shape_id, seq FROM
+      (SELECT grp, i0 AS seq FROM final UNION SELECT grp, i1 FROM final)
+    """,
+)
+def polyline_simplify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Douglas-Peucker shape thinning
+    (operators/spatial.simplify_polyline): driver-bounded range
+    frontier, one broadcast scan + per-range max(struct) argmax per
+    round. Eager at construction (like convex_hull) — keep out of
+    plan-audit sets."""
+    from osm2gtfs_spark.operators.spatial import simplify_polyline
+
+    c = tpch.load(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.col("c_custkey") % 25).cast("long").alias("shape_id"),
+        F.expr("c_custkey div 25").alias("seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    return simplify_polyline(pts, eps=_DP_EPS)
+
+
+@register(
+    "polyline_chainage",
+    f"""
+    -- cumulative chainage (shape_dist_traveled analog): per-segment
+    -- planar length floored at e6 BEFORE the running sum, so the
+    -- cumulative BIGINT is addition-order independent; IEEE sqrt is
+    -- correctly rounded, hence bit-identical across engines.
+    WITH s AS ({_SHAPES_SQL}),
+    d AS (SELECT shape_id, seq,
+                 CAST(FLOOR(SQRT((x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+                                + (y - LAG(y) OVER w) * (y - LAG(y) OVER w)) * 1000000.0)
+                      AS BIGINT) AS step
+          FROM s WINDOW w AS (PARTITION BY shape_id ORDER BY seq))
+    SELECT shape_id, seq,
+           CAST(SUM(COALESCE(step, 0)) OVER (PARTITION BY shape_id ORDER BY seq)
+                AS BIGINT) AS chainage_scaled
+    FROM d
+    """,
+)
+def polyline_chainage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running shape_dist_traveled per polyline as one ordered window
+    (operators/spatial.polyline_chainage), integer-exact dialect."""
+    from osm2gtfs_spark.operators.spatial import polyline_chainage
+
+    c = tpch.load(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.col("c_custkey") % 25).cast("long").alias("shape_id"),
+        F.expr("c_custkey div 25").alias("seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    return polyline_chainage(pts, int_scale=1_000_000).select(
+        "shape_id", "seq", "chainage_scaled"
+    )
