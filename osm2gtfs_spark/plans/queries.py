@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "stop_shape_dist",
     "polyline_simplify",
     "polyline_chainage",
     "convex_hull",
@@ -2472,19 +2473,21 @@ def morton_cell_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _seg_raster_ctes(res: int) -> str:
+def _seg_raster_ctes(res: int, stride: int = 1) -> str:
     """Oracle CTEs ``seg``/``st``/``pts``: consecutive-stop segments
     sampled at ``res`` per the polyline_cell_coverage dialect (2×
     oversampled Chebyshev steps, capped at 4096). ONE copy shared by
-    the polyline_cell_coverage and snap_to_polyline oracles so the
-    sampling dialect cannot drift between them (review r5 — same
-    rationale as _prep_cte_chain). Expects a prior CTE ``s`` with
-    (stop_key, lat, lon)."""
+    the polyline_cell_coverage, snap_to_polyline and stop_shape_dist
+    oracles so the sampling dialect cannot drift between them (review
+    r5 — same rationale as _prep_cte_chain). Expects a prior CTE ``s``
+    with (stop_key, lat, lon). ``stride=25`` pairs each vertex with
+    its same-shape successor under the 25-polyline synth
+    (key % 25 = shape, key // 25 = seq)."""
     n = 2**res
     return f"""
     seg AS (SELECT a.stop_key AS seg_id, a.lat AS a1, a.lon AS o1,
                    b.lat AS a2, b.lon AS o2
-            FROM s a JOIN s b ON b.stop_key = a.stop_key + 1),
+            FROM s a JOIN s b ON b.stop_key = a.stop_key + {stride}),
     st AS (SELECT seg_id, a1, o1, a2, o2,
                   LEAST(4096, GREATEST(1,
                     CAST(CEIL(GREATEST(ABS(o2 - o1) / 360.0 * {n}.0,
@@ -2496,16 +2499,17 @@ def _seg_raster_ctes(res: int) -> str:
             FROM st, UNNEST(range(0, ns + 1)) AS u(j))"""
 
 
-def _consecutive_segments(stops: DataFrame) -> DataFrame:
+def _consecutive_segments(stops: DataFrame, stride: int = 1) -> DataFrame:
     """(seg_id, lat1, lon1, lat2, lon2): consecutive-stop-pair segments
-    — the Spark twin of the oracle's ``seg`` CTE."""
+    — the Spark twin of the oracle's ``seg`` CTE. ``stride=25`` pairs
+    same-shape successors under the 25-polyline synth."""
     a = stops.select(
         F.col("stop_key").alias("seg_id"),
         F.col("lat").alias("lat1"),
         F.col("lon").alias("lon1"),
     )
     b = stops.select(
-        (F.col("stop_key") - 1).alias("seg_id"),
+        (F.col("stop_key") - stride).alias("seg_id"),
         F.col("lat").alias("lat2"),
         F.col("lon").alias("lon2"),
     )
@@ -2800,27 +2804,25 @@ def sessionize_stream_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "snap_to_polyline",
-    f"""
-    -- kNN snap to route GEOMETRY (not points): nearest SEGMENT by
-    -- clamped perpendicular distance in the equirectangular plane,
-    -- candidates restricted to segments whose rasterized cells fall in
-    -- the station's 1-ring at res 6; t_permille = snap position.
-    WITH s AS ({tpch.STOPS_SQL}),
-    t AS ({tpch.STATIONS_SQL}),
-    {_seg_raster_ctes(6)},
-    cov AS (SELECT DISTINCT seg_id,
-                   {_cell_ixiy_sql('lat', 'lon', 6)[0]} AS ix,
-                   {_cell_ixiy_sql('lat', 'lon', 6)[1]} AS iy
-            FROM pts),
+def _snap_winner_ctes(res: int) -> str:
+    """Oracle CTEs ``cov``/``tc``/``cand``/``geo``/``scored``/``ranked``:
+    station→segment 1-ring candidate join, clamped-projection squared
+    distance, and the per-station argmin rank — the snap_to_polyline
+    dialect. ONE copy shared by the snap_to_polyline and
+    stop_shape_dist oracles (same no-drift rationale as
+    :func:`_seg_raster_ctes`). Expects prior CTEs ``t``
+    (station_key, lat, lon) and ``seg``/``pts`` from
+    :func:`_seg_raster_ctes` at the same ``res``."""
+    n = 2**res
+    ix, iy = _cell_ixiy_sql("lat", "lon", res)
+    return f"""
+    cov AS (SELECT DISTINCT seg_id, {ix} AS ix, {iy} AS iy FROM pts),
     tc AS (SELECT station_key, lat AS plat, lon AS plon,
-                  {_cell_ixiy_sql('lat', 'lon', 6)[0]} AS ix,
-                  {_cell_ixiy_sql('lat', 'lon', 6)[1]} AS iy
+                  {ix} AS ix, {iy} AS iy
            FROM t),
     cand AS (SELECT DISTINCT tc.station_key, tc.plat, tc.plon, cov.seg_id
              FROM tc JOIN cov
-               ON LEAST(ABS(tc.ix - cov.ix), 64 - ABS(tc.ix - cov.ix)) <= 1
+               ON LEAST(ABS(tc.ix - cov.ix), {n} - ABS(tc.ix - cov.ix)) <= 1
               AND ABS(tc.iy - cov.iy) <= 1),
     geo AS (SELECT c.station_key, c.seg_id,
                    CASE WHEN (g.a2 - g.a1) * (g.a2 - g.a1) + (g.o2 - g.o1) * (g.o2 - g.o1) = 0
@@ -2838,7 +2840,20 @@ def sessionize_stream_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (SELECT station_key, seg_id, t_permille,
                       ROW_NUMBER() OVER (PARTITION BY station_key
                                          ORDER BY d ASC, seg_id ASC) AS rnk
-               FROM scored)
+               FROM scored)"""
+
+
+@register(
+    "snap_to_polyline",
+    f"""
+    -- kNN snap to route GEOMETRY (not points): nearest SEGMENT by
+    -- clamped perpendicular distance in the equirectangular plane,
+    -- candidates restricted to segments whose rasterized cells fall in
+    -- the station's 1-ring at res 6; t_permille = snap position.
+    WITH s AS ({tpch.STOPS_SQL}),
+    t AS ({tpch.STATIONS_SQL}),
+    {_seg_raster_ctes(6)},
+    {_snap_winner_ctes(6)}
     SELECT station_key, seg_id AS nearest_seg_id, t_permille
     FROM ranked WHERE rnk = 1
     """,
@@ -3317,4 +3332,92 @@ def polyline_chainage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return polyline_chainage(pts, int_scale=1_000_000).select(
         "shape_id", "seq", "chainage_scaled"
+    )
+
+
+@register(
+    "stop_shape_dist",
+    f"""
+    -- GTFS shape_dist_traveled: each station snaps onto its nearest
+    -- shape SEGMENT (snap_to_polyline dialect, stride-25 shape synth),
+    -- then distance-from-shape-start = integer chainage at the
+    -- segment's first vertex + within-segment offset
+    -- t_permille * seg_len // 1000 — all-BIGINT, engine-exact.
+    WITH s AS ({tpch.STOPS_SQL}),
+    t AS ({tpch.STATIONS_SQL}),
+    {_seg_raster_ctes(6, stride=25)},
+    {_snap_winner_ctes(6)},
+    win AS (SELECT station_key, seg_id, t_permille FROM ranked WHERE rnk = 1),
+    d AS (SELECT stop_key,
+                 CAST(FLOOR(SQRT((lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w)
+                                + (lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w)) * 1000000.0)
+                      AS BIGINT) AS step
+          FROM s WINDOW w AS (PARTITION BY stop_key % 25 ORDER BY stop_key // 25)),
+    chain AS (SELECT stop_key,
+                     CAST(SUM(COALESCE(step, 0)) OVER
+                          (PARTITION BY stop_key % 25 ORDER BY stop_key // 25) AS BIGINT) AS chain_start
+              FROM d),
+    slen AS (SELECT seg_id,
+                    CAST(FLOOR(SQRT((o2 - o1) * (o2 - o1) + (a2 - a1) * (a2 - a1)) * 1000000.0)
+                         AS BIGINT) AS seg_len
+             FROM seg)
+    SELECT wn.station_key, wn.seg_id % 25 AS shape_id,
+           c.chain_start + (wn.t_permille * l.seg_len) // 1000 AS shape_dist_scaled
+    FROM win wn JOIN slen l USING (seg_id) JOIN chain c ON c.stop_key = wn.seg_id
+    """,
+)
+def stop_shape_dist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTFS shape_dist_traveled as a composition of the two polyline
+    operators: snap_to_polyline locates each station on its nearest
+    shape segment (cell-ring candidates, clamped projection, argmin),
+    polyline_chainage gives the integer distance-from-shape-start at
+    the segment's first vertex, and the within-segment offset is pure
+    BIGINT arithmetic over t_permille — the column the reference's
+    shapes/stop_times creators leave for the consumer to derive.
+
+    Scale shape: the snap is the dominant join (ring-bounded, never
+    cross); chainage is one per-shape window; the two closing joins
+    are keyed by seg_id (broadcastable — one row per segment)."""
+    from osm2gtfs_spark.operators.spatial import polyline_chainage, snap_to_polyline
+
+    stops = tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon")
+    seg = _consecutive_segments(stops, stride=25)
+    snap = snap_to_polyline(
+        tpch.stations(spark, sf_dir),
+        seg,
+        res=6,
+        k_ring=1,
+        point_key="station_key",
+        seg_key="seg_id",
+    )
+    verts = stops.select(
+        "stop_key",
+        (F.col("stop_key") % 25).alias("shape_id"),
+        F.expr("stop_key div 25").alias("seq"),
+        "lat",
+        "lon",
+    )
+    chain = polyline_chainage(verts, int_scale=1_000_000).select(
+        F.col("stop_key").alias("seg_id"),
+        F.col("chainage_scaled").alias("chain_start"),
+    )
+    dla = F.col("lat2") - F.col("lat1")
+    dlo = F.col("lon2") - F.col("lon1")
+    slen = seg.select(
+        "seg_id",
+        F.floor(F.sqrt(dlo * dlo + dla * dla) * F.lit(1000000.0))
+        .cast("long")
+        .alias("seg_len"),
+    )
+    return (
+        snap.withColumnRenamed("nearest_seg_id", "seg_id")
+        .join(slen, "seg_id")
+        .join(chain, "seg_id")
+        .select(
+            "station_key",
+            (F.col("seg_id") % 25).alias("shape_id"),
+            (
+                F.col("chain_start") + F.expr("t_permille * seg_len div 1000")
+            ).alias("shape_dist_scaled"),
+        )
     )
