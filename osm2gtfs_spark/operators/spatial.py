@@ -1088,6 +1088,137 @@ def polyline_chainage(
     return points.withColumn("chainage_scaled", chain)
 
 
+def hausdorff_pairs(
+    pairs: DataFrame,
+    points: DataFrame,
+    pair_col: str = "pair_id",
+    a_col: str = "group_a",
+    b_col: str = "group_b",
+    group_col: str = "shape_id",
+    seq_col: str = "seq",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Exact directed Hausdorff distances between explicit polyline
+    pairs — master↔variant route-shape QA ('how far does this variant
+    stray from its master geometry?', the quantitative form of the
+    reference's master/variant reconciliation).
+
+    h(A→B) = max over a∈A of min over b∈B of squared planar distance
+    (equirectangular, degree units — monotone in true distance, so
+    argmax/argmin are the same as metric Hausdorff). Computed exactly:
+    the candidate join is keyed by pair_id, so cost is |A|·|B| PER
+    PAIR, never a corpus cross join — the right exact baseline when
+    shapes are bounded (hundreds–thousands of vertices); skew is the
+    longest single pair. Both aggregations are two-phase (map-side
+    combined min then max); min/max over IEEE doubles are comparisons
+    only, bit-stable in any engine.
+
+    Returns (pair_col, h_ab, h_ba, h_sym): squared-distance doubles,
+    h_sym = max(h_ab, h_ba).
+    """
+    def side(gcol: str, px: str, py: str, ps: str) -> DataFrame:
+        return pairs.select(pair_col, F.col(gcol).alias("_g")).join(
+            points.select(
+                F.col(group_col).alias("_g"),
+                F.col(seq_col).alias(ps),
+                F.col(x_col).cast("double").alias(px),
+                F.col(y_col).cast("double").alias(py),
+            ),
+            "_g",
+        ).drop("_g")
+
+    va = side(a_col, "_ax", "_ay", "_as")
+    vb = side(b_col, "_bx", "_by", "_bs")
+    d2 = (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx")) + (
+        F.col("_ay") - F.col("_by")
+    ) * (F.col("_ay") - F.col("_by"))
+    j = va.join(vb, pair_col).withColumn("_d2", d2)
+    h_ab = (
+        j.groupBy(pair_col, "_as")
+        .agg(F.min("_d2").alias("_m"))
+        .groupBy(pair_col)
+        .agg(F.max("_m").alias("h_ab"))
+    )
+    h_ba = (
+        j.groupBy(pair_col, "_bs")
+        .agg(F.min("_d2").alias("_m"))
+        .groupBy(pair_col)
+        .agg(F.max("_m").alias("h_ba"))
+    )
+    return (
+        h_ab.join(h_ba, pair_col)
+        .withColumn("h_sym", F.greatest("h_ab", "h_ba"))
+    )
+
+
+def resample_polyline(
+    points: DataFrame,
+    step_scaled: int,
+    group_col: str = "shape_id",
+    seq_col: str = "seq",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    int_scale: int = 1_000_000,
+) -> DataFrame:
+    """Equal-interval resampling of each polyline: one output point at
+    every multiple of ``step_scaled`` along the integer chainage
+    (shape densification / GPS-trace normalization — the inverse of
+    :func:`simplify_polyline`).
+
+    Built on :func:`polyline_chainage`: each vertex row carries its
+    cumulative integer chainage; the segment to the NEXT vertex owns
+    the targets k·step in [chain, next_chain) — half-open, so a target
+    landing exactly on a vertex is emitted once, by the segment it
+    starts. The whole operator is the chainage window plus a map-side
+    ``sequence`` explode — no joins; fanout per segment is
+    seg_len/step (caller controls the step).
+
+    Position dialect (oracle-exact): t = (k·step − chain)/seg_len with
+    both operands BIGINT cast to double (one IEEE divide), point =
+    a + t·(b−a) — the same closed form as snap_to_polyline.
+
+    Returns (group_col, k, x_col, y_col): k = target index, coords as
+    doubles.
+    """
+    ch = polyline_chainage(
+        points, group_col=group_col, seq_col=seq_col, x_col=x_col, y_col=y_col,
+        int_scale=int_scale,
+    )
+    w = Window.partitionBy(group_col).orderBy(seq_col)
+    sg = ch.select(
+        group_col,
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        F.col("chainage_scaled").alias("_c"),
+        F.lead(x_col).over(w).alias("_nx"),
+        F.lead(y_col).over(w).alias("_ny"),
+        F.lead("chainage_scaled").over(w).alias("_nc"),
+    )
+    r = int(step_scaled)
+    k_lo = F.expr(f"(_c + {r} - 1) div {r}")
+    k_hi = F.expr(f"(_nc - 1) div {r}")
+    tg = (
+        # a zero-length segment owns no targets ([c, nc) empty); the
+        # filter also keeps k_hi's `div` away from negative operands,
+        # where Spark truncates but SQL floor-divides
+        sg.filter(F.col("_nc").isNotNull() & (F.col("_nc") > F.col("_c")))
+        .withColumn("_klo", k_lo)
+        .withColumn("_khi", k_hi)
+        .filter(F.col("_klo") <= F.col("_khi"))
+        .withColumn("k", F.explode(F.sequence(F.col("_klo"), F.col("_khi"))))
+    )
+    t = (F.col("k") * F.lit(r) - F.col("_c")).cast("double") / (
+        F.col("_nc") - F.col("_c")
+    ).cast("double")
+    return tg.select(
+        group_col,
+        "k",
+        (F.col("_x") + t * (F.col("_nx") - F.col("_x"))).alias(x_col),
+        (F.col("_y") + t * (F.col("_ny") - F.col("_y"))).alias(y_col),
+    )
+
+
 def raster_regions(
     cells: DataFrame,
     res: int,

@@ -71,6 +71,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "shape_hausdorff",
+    "polyline_resample",
     "stop_shape_dist",
     "polyline_simplify",
     "polyline_chainage",
@@ -3420,4 +3422,120 @@ def stop_shape_dist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("chain_start") + F.expr("t_permille * seg_len div 1000")
             ).alias("shape_dist_scaled"),
         )
+    )
+
+
+_RS_STEP = 100_000_000  # resample every 100 chainage-units (degrees x 1e6)
+
+
+@register(
+    "polyline_resample",
+    f"""
+    -- equal-interval resampling: one point every {_RS_STEP} integer
+    -- chainage units; the segment [chain, next_chain) owns its
+    -- targets (half-open: vertex-coincident targets emit once);
+    -- t = (k*step - chain)/seg_len on BIGINT-cast doubles, point =
+    -- a + t*(b - a) — the snap_to_polyline closed form.
+    WITH s AS ({_SHAPES_SQL}),
+    d AS (SELECT shape_id, seq, x, y,
+                 CAST(FLOOR(SQRT((x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+                                + (y - LAG(y) OVER w) * (y - LAG(y) OVER w)) * 1000000.0)
+                      AS BIGINT) AS step
+          FROM s WINDOW w AS (PARTITION BY shape_id ORDER BY seq)),
+    ch AS (SELECT shape_id, seq, x, y,
+                  CAST(SUM(COALESCE(step, 0)) OVER
+                       (PARTITION BY shape_id ORDER BY seq) AS BIGINT) AS c
+           FROM d),
+    sg AS (SELECT shape_id, x, y, c,
+                  LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny,
+                  LEAD(c) OVER w AS nc
+           FROM ch WINDOW w AS (PARTITION BY shape_id ORDER BY seq)),
+    sg2 AS (SELECT * FROM sg WHERE nc IS NOT NULL AND nc > c),
+    tg AS (SELECT shape_id, x, y, nx, ny, c, nc, u.k
+           FROM sg2, UNNEST(range((c + {_RS_STEP} - 1) // {_RS_STEP},
+                                  ((nc - 1) // {_RS_STEP}) + 1)) AS u(k)),
+    pos AS (SELECT shape_id, k,
+                   CAST(k * {_RS_STEP} - c AS DOUBLE) / CAST(nc - c AS DOUBLE) AS t,
+                   x, y, nx, ny
+            FROM tg)
+    SELECT shape_id, k,
+           CAST(FLOOR((x + t * (nx - x)) * 1000000.0) AS BIGINT) AS lon_e6,
+           CAST(FLOOR((y + t * (ny - y)) * 1000000.0) AS BIGINT) AS lat_e6
+    FROM pos
+    """,
+)
+def polyline_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-interval shape resampling
+    (operators/spatial.resample_polyline): chainage window + map-side
+    sequence explode, no joins. Gate projects coords to floor(x*1e6)
+    BIGINTs for cross-engine value comparison."""
+    from osm2gtfs_spark.operators.spatial import resample_polyline
+
+    c = tpch.load(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.col("c_custkey") % 25).cast("long").alias("shape_id"),
+        F.expr("c_custkey div 25").alias("seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    out = resample_polyline(pts, step_scaled=_RS_STEP)
+    return out.select(
+        "shape_id",
+        "k",
+        F.floor(F.col("lon") * F.lit(1000000.0)).cast("long").alias("lon_e6"),
+        F.floor(F.col("lat") * F.lit(1000000.0)).cast("long").alias("lat_e6"),
+    )
+
+
+@register(
+    "shape_hausdorff",
+    f"""
+    -- exact directed Hausdorff between route-shape pairs (master i vs
+    -- variant (i+1)%25): max-of-min squared planar distance, both
+    -- directions + symmetric; floor(h*1e9) BIGINT projection. The
+    -- join is keyed per pair — |A|*|B| per pair, never corpus-wide.
+    WITH s AS ({_SHAPES_SQL}),
+    p AS (SELECT CAST(u.i AS BIGINT) AS pair_id,
+                 CAST(u.i AS BIGINT) AS ga,
+                 CAST((u.i + 1) % 25 AS BIGINT) AS gb
+          FROM UNNEST(range(0, 25)) AS u(i)),
+    j AS (SELECT p.pair_id, a.seq AS sa, b.seq AS sb,
+                 (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+          FROM p JOIN s a ON a.shape_id = p.ga
+                 JOIN s b ON b.shape_id = p.gb),
+    ma AS (SELECT pair_id, sa, MIN(d2) AS m FROM j GROUP BY pair_id, sa),
+    mb AS (SELECT pair_id, sb, MIN(d2) AS m FROM j GROUP BY pair_id, sb),
+    ha AS (SELECT pair_id, MAX(m) AS h_ab FROM ma GROUP BY pair_id),
+    hb AS (SELECT pair_id, MAX(m) AS h_ba FROM mb GROUP BY pair_id)
+    SELECT ha.pair_id,
+           CAST(FLOOR(h_ab * 1000000000.0) AS BIGINT) AS h_ab_e9,
+           CAST(FLOOR(h_ba * 1000000000.0) AS BIGINT) AS h_ba_e9,
+           CAST(FLOOR(GREATEST(h_ab, h_ba) * 1000000000.0) AS BIGINT) AS h_sym_e9
+    FROM ha JOIN hb USING (pair_id)
+    """,
+)
+def shape_hausdorff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-variant geometry QA (operators/spatial.hausdorff_pairs):
+    exact directed Hausdorff per explicit shape pair, two-phase
+    min-then-max aggregations over a pair-keyed join."""
+    from osm2gtfs_spark.operators.spatial import hausdorff_pairs
+
+    c = tpch.load(spark, sf_dir, "customer")
+    pts = c.select(
+        (F.col("c_custkey") % 25).cast("long").alias("shape_id"),
+        F.expr("c_custkey div 25").alias("seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    pairs = spark.range(25).select(
+        F.col("id").alias("pair_id"),
+        F.col("id").alias("group_a"),
+        ((F.col("id") + 1) % 25).alias("group_b"),
+    )
+    out = hausdorff_pairs(pairs, pts)
+    return out.select(
+        "pair_id",
+        F.floor(F.col("h_ab") * F.lit(1000000000.0)).cast("long").alias("h_ab_e9"),
+        F.floor(F.col("h_ba") * F.lit(1000000000.0)).cast("long").alias("h_ba_e9"),
+        F.floor(F.col("h_sym") * F.lit(1000000000.0)).cast("long").alias("h_sym_e9"),
     )
