@@ -1088,6 +1088,117 @@ def polyline_chainage(
     return points.withColumn("chainage_scaled", chain)
 
 
+def _map_match_trace(pdf):
+    """Greedy monotone map-matching of ONE ordered trace — the
+    per-group kernel of :func:`map_match_polyline`.
+
+    Candidates arrive pre-joined (obs × same-shape segments); per
+    observation in seq order, pick the minimum re-clamped squared
+    distance among segments whose span ends at-or-after the cursor,
+    tie-break smallest seg_id (candidate arrays are seg_id-sorted, so
+    numpy's first-min IS that tie-break); the cursor advances to the
+    winner's integer chainage position. All arithmetic is the same
+    IEEE-double expression tree as the recursive SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    segs = (
+        pdf.drop_duplicates(subset=["seg_id"]).sort_values("seg_id")
+    )
+    a1 = segs["lat1"].to_numpy(dtype=np.float64)
+    o1 = segs["lon1"].to_numpy(dtype=np.float64)
+    a2 = segs["lat2"].to_numpy(dtype=np.float64)
+    o2 = segs["lon2"].to_numpy(dtype=np.float64)
+    c = segs["chain_start"].to_numpy(dtype=np.int64)
+    L = segs["seg_len"].to_numpy(dtype=np.int64)
+    seg_ids = segs["seg_id"].to_numpy(dtype=np.int64)
+    Ld = L.astype(np.float64)
+    da, do = a2 - a1, o2 - o1
+    len2 = da * da + do * do
+    safe_len2 = np.where(len2 == 0.0, 1.0, len2)
+
+    obs = pdf.drop_duplicates(subset=["obs_seq"]).sort_values("obs_seq")
+    out_seq, out_seg, out_p, out_d2 = [], [], [], []
+    cursor = np.int64(0)
+    for _, row in obs.iterrows():
+        plat, plon = row["_plat"], row["_plon"]
+        dot = (plat - a1) * da + (plon - o1) * do
+        t_star = np.where(
+            len2 == 0.0, 0.0, np.minimum(1.0, np.maximum(0.0, dot / safe_len2))
+        )
+        t_min = np.where(
+            L == 0,
+            0.0,
+            np.minimum(1.0, np.maximum(0.0, (cursor - c).astype(np.float64) / np.where(L == 0, 1.0, Ld))),
+        )
+        t_c = np.minimum(1.0, np.maximum(t_min, t_star))
+        pa = a1 + t_c * da
+        po = o1 + t_c * do
+        d2 = (plat - pa) * (plat - pa) + (plon - po) * (plon - po)
+        elig = (c + L) >= cursor
+        d2_sel = np.where(elig, d2, np.inf)
+        j = int(np.argmin(d2_sel))
+        p_new = np.int64(c[j]) + np.int64(np.floor(t_c[j] * Ld[j]))
+        cursor = p_new
+        out_seq.append(int(row["obs_seq"]))
+        out_seg.append(int(seg_ids[j]))
+        out_p.append(int(p_new))
+        out_d2.append(float(d2_sel[j]))
+    return pd.DataFrame(
+        {
+            "trace_id": [int(pdf["trace_id"].iloc[0])] * len(out_seq),
+            "obs_seq": out_seq,
+            "seg_id": out_seg,
+            "p_scaled": out_p,
+            "d2": out_d2,
+        }
+    )
+
+
+def map_match_polyline(
+    obs: DataFrame,
+    segments: DataFrame,
+    shape_col: str = "shape_id",
+) -> DataFrame:
+    """Monotone map-matching: ordered observation traces (GPS pings)
+    snap onto their route polyline with a forward-only cursor — each
+    observation matches the nearest segment POSITION at-or-after the
+    previous match (re-clamped projection), the geometric twin of the
+    J7 stop↔schedule cursor alignment, for realtime vehicle positions
+    against the shapes this engine emits.
+
+    ``obs``: (trace_id, obs_seq, lat, lon, shape_col) — one route
+    shape per trace. ``segments``: (shape_col, seg_id, lat1, lon1,
+    lat2, lon2, chain_start, seg_len) with integer chainage as built
+    from :func:`polyline_chainage` (seg_len = next chain − chain).
+
+    Scale shape: ONE equi join keyed by shape (candidates = obs ×
+    own-shape segments, never corpus-wide), then one applyInPandas
+    keyed by trace — state lives inside the kernel, bounded by a
+    single trace's (obs + segments). Skew = the densest single trace.
+
+    Dialect (oracle-exact, replayed by a recursive CTE): t* =
+    clamp(dot/len2, 0, 1); t_min = clamp((cursor−c)/L, 0, 1);
+    t_c = min(1, max(t_min, t*)); winner = min (d2, seg_id); cursor'
+    = c + floor(t_c·L). A zero-length segment is eligible iff its
+    position ≥ cursor and contributes its endpoint.
+
+    Returns (trace_id, obs_seq, seg_id, p_scaled, d2).
+    """
+    cand = obs.select(
+        "trace_id",
+        "obs_seq",
+        shape_col,
+        F.col("lat").cast("double").alias("_plat"),
+        F.col("lon").cast("double").alias("_plon"),
+    ).join(segments, shape_col)
+    return cand.groupBy("trace_id").applyInPandas(
+        _map_match_trace,
+        "trace_id long, obs_seq long, seg_id long, p_scaled long, d2 double",
+    )
+
+
 def hausdorff_pairs(
     pairs: DataFrame,
     points: DataFrame,

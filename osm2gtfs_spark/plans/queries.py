@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "map_match_trace",
     "shape_hausdorff",
     "polyline_resample",
     "stop_shape_dist",
@@ -3538,4 +3539,141 @@ def shape_hausdorff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("h_ab") * F.lit(1000000000.0)).cast("long").alias("h_ab_e9"),
         F.floor(F.col("h_ba") * F.lit(1000000000.0)).cast("long").alias("h_ba_e9"),
         F.floor(F.col("h_sym") * F.lit(1000000000.0)).cast("long").alias("h_sym_e9"),
+    )
+
+
+def _mm_d2(g: str) -> str:
+    """Map-match candidate squared distance for segment alias ``g``
+    given state alias ``m`` (cursor) and observation alias ``o`` — the
+    exact IEEE expression tree of the kernel (operators/spatial
+    ._map_match_trace)."""
+    len2 = f"(({g}.a2 - {g}.a1) * ({g}.a2 - {g}.a1) + ({g}.o2 - {g}.o1) * ({g}.o2 - {g}.o1))"
+    dot = f"((o.plat - {g}.a1) * ({g}.a2 - {g}.a1) + (o.plon - {g}.o1) * ({g}.o2 - {g}.o1))"
+    tstar = f"(CASE WHEN {len2} = 0 THEN 0.0 ELSE LEAST(1.0, GREATEST(0.0, {dot} / {len2})) END)"
+    tmin = (
+        f"(CASE WHEN {g}.L = 0 THEN 0.0 ELSE LEAST(1.0, GREATEST(0.0, "
+        f"CAST(m.cursor - {g}.c AS DOUBLE) / CAST({g}.L AS DOUBLE))) END)"
+    )
+    tc = f"LEAST(1.0, GREATEST({tmin}, {tstar}))"
+    return (
+        f"((o.plat - ({g}.a1 + {tc} * ({g}.a2 - {g}.a1))) * (o.plat - ({g}.a1 + {tc} * ({g}.a2 - {g}.a1)))"
+        f" + (o.plon - ({g}.o1 + {tc} * ({g}.o2 - {g}.o1))) * (o.plon - ({g}.o1 + {tc} * ({g}.o2 - {g}.o1))))"
+    )
+
+
+def _mm_tc(g: str) -> str:
+    len2 = f"(({g}.a2 - {g}.a1) * ({g}.a2 - {g}.a1) + ({g}.o2 - {g}.o1) * ({g}.o2 - {g}.o1))"
+    dot = f"((o.plat - {g}.a1) * ({g}.a2 - {g}.a1) + (o.plon - {g}.o1) * ({g}.o2 - {g}.o1))"
+    tstar = f"(CASE WHEN {len2} = 0 THEN 0.0 ELSE LEAST(1.0, GREATEST(0.0, {dot} / {len2})) END)"
+    tmin = (
+        f"(CASE WHEN {g}.L = 0 THEN 0.0 ELSE LEAST(1.0, GREATEST(0.0, "
+        f"CAST(m.cursor - {g}.c AS DOUBLE) / CAST({g}.L AS DOUBLE))) END)"
+    )
+    return f"LEAST(1.0, GREATEST({tmin}, {tstar}))"
+
+
+_MM_PNEW = f"(g.c + CAST(FLOOR({_mm_tc('g')} * CAST(g.L AS DOUBLE)) AS BIGINT))"
+_MM_OBS_CAP = 20
+
+
+@register(
+    "map_match_trace",
+    f"""
+    -- monotone map-matching replay: per trace, in obs order, the
+    -- nearest segment position at-or-after the cursor (re-clamped
+    -- projection, tie-break smallest seg_id); cursor -> winner's
+    -- integer chainage. Recursive CTE = the kernel's exact greedy
+    -- IEEE recursion; first {_MM_OBS_CAP} obs per trace both engines.
+    WITH RECURSIVE
+    sv AS (SELECT c_custkey AS k, c_custkey % 25 AS shape_id, c_custkey // 25 AS seq,
+                  {tpch.derived_lat_sql('c_custkey')} AS a,
+                  {tpch.derived_lon_sql('c_custkey')} AS o
+           FROM customer),
+    sd AS (SELECT k, shape_id, seq, a, o,
+                  CAST(FLOOR(SQRT((o - LAG(o) OVER w1) * (o - LAG(o) OVER w1)
+                                 + (a - LAG(a) OVER w1) * (a - LAG(a) OVER w1)) * 1000000.0)
+                       AS BIGINT) AS step
+           FROM sv WINDOW w1 AS (PARTITION BY shape_id ORDER BY seq)),
+    sc AS (SELECT k, shape_id, seq, a, o,
+                  CAST(SUM(COALESCE(step, 0)) OVER
+                       (PARTITION BY shape_id ORDER BY seq) AS BIGINT) AS c
+           FROM sd),
+    seg AS (SELECT shape_id, k AS seg_id, a AS a1, o AS o1,
+                   LEAD(a) OVER w2 AS a2, LEAD(o) OVER w2 AS o2,
+                   c, LEAD(c) OVER w2 - c AS L
+            FROM sc WINDOW w2 AS (PARTITION BY shape_id ORDER BY seq)),
+    seg2 AS (SELECT * FROM seg WHERE a2 IS NOT NULL AND shape_id < 5),
+    obs AS (SELECT s_suppkey % 5 AS trace_id, s_suppkey // 5 AS i,
+                   {tpch.derived_lat_sql('s_suppkey')} AS plat,
+                   {tpch.derived_lon_sql('s_suppkey')} AS plon
+            FROM supplier WHERE s_suppkey // 5 < {_MM_OBS_CAP}),
+    mm(trace_id, i, cursor, seg_id, p, d2) AS (
+      SELECT DISTINCT trace_id, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+      FROM obs
+      UNION ALL
+      SELECT m.trace_id, o.i, {_MM_PNEW}, g.seg_id, {_MM_PNEW}, {_mm_d2('g')}
+      FROM mm m
+      JOIN obs o ON o.trace_id = m.trace_id AND o.i = m.i + 1
+      JOIN seg2 g ON g.shape_id = m.trace_id AND (g.c + g.L) >= m.cursor
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seg2 g2
+        WHERE g2.shape_id = m.trace_id AND (g2.c + g2.L) >= m.cursor
+          AND ({_mm_d2('g2')} < {_mm_d2('g')}
+            OR ({_mm_d2('g2')} = {_mm_d2('g')} AND g2.seg_id < g.seg_id))))
+    SELECT trace_id, i AS obs_seq, seg_id, p AS p_scaled,
+           CAST(FLOOR(d2 * 1000000000.0) AS BIGINT) AS d2_e9
+    FROM mm WHERE i >= 0
+    """,
+)
+def map_match_trace_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone map-matching (operators/spatial.map_match_polyline):
+    station traces (5 traces, capped obs each) against shapes 0-4;
+    one shape-keyed candidate join + per-trace kernel. The oracle is
+    a recursive CTE replaying the greedy cursor recursion with the
+    NOT EXISTS argmin (same discipline as the Douglas-Peucker
+    oracle)."""
+    from osm2gtfs_spark.operators.spatial import map_match_polyline, polyline_chainage
+
+    c = tpch.load(spark, sf_dir, "customer")
+    verts = c.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") % 25).cast("long").alias("shape_id"),
+        F.expr("c_custkey div 25").alias("seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    ch = polyline_chainage(verts, int_scale=1_000_000)
+    w = Window.partitionBy("shape_id").orderBy("seq")
+    seg = (
+        ch.select(
+            "shape_id",
+            F.col("k").alias("seg_id"),
+            F.col("lat").alias("lat1"),
+            F.col("lon").alias("lon1"),
+            F.lead("lat").over(w).alias("lat2"),
+            F.lead("lon").over(w).alias("lon2"),
+            F.col("chainage_scaled").alias("chain_start"),
+            (F.lead("chainage_scaled").over(w) - F.col("chainage_scaled")).alias("seg_len"),
+        )
+        .filter(F.col("lat2").isNotNull() & (F.col("shape_id") < 5))
+    )
+    st = tpch.stations(spark, sf_dir)
+    obs = (
+        st.select(
+            (F.col("station_key") % 5).alias("trace_id"),
+            F.expr("station_key div 5").alias("obs_seq"),
+            "lat",
+            "lon",
+        )
+        .withColumn("shape_id", F.col("trace_id"))
+        .filter(F.col("obs_seq") < _MM_OBS_CAP)
+    )
+    out = map_match_polyline(obs, seg)
+    return out.select(
+        "trace_id",
+        "obs_seq",
+        "seg_id",
+        "p_scaled",
+        F.floor(F.col("d2") * F.lit(1000000000.0)).cast("long").alias("d2_e9"),
     )
