@@ -71,6 +71,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "span_offset_repair",
+    "media_asset_dedup",
+    "pack_interleaved_chunks",
     "map_match_trace",
     "shape_hausdorff",
     "polyline_resample",
@@ -3676,4 +3679,166 @@ def map_match_trace_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg_id",
         "p_scaled",
         F.floor(F.col("d2") * F.lit(1000000000.0)).cast("long").alias("d2_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-span operators (operators/spans.py) — the north-rule
+# payload axis: (doc_id, spans: array<struct<kind,text,media_ref,offset>>)
+# ---------------------------------------------------------------------------
+
+# Shared synthesis (Spark + oracle twins): 6 spans per document, every
+# third one a media span whose ref is SHARED across docs with equal
+# doc_id % 41 (so the corpus has genuine duplicate media assets), text
+# spans carved from the document text, offsets deliberately stale
+# (i * 100) so repair has real work to do.
+_SPAN_SYNTH_SQL = """
+      SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+             CASE WHEN u.i % 3 = 2 THEN 'image' ELSE 'text' END AS kind,
+             CASE WHEN u.i % 3 = 2 THEN '' ELSE substr(text, CAST(u.i * 7 + 1 AS INTEGER), 7) END AS stext,
+             CASE WHEN u.i % 3 = 2
+                  THEN 'm://' || md5(CAST(doc_id % 41 AS VARCHAR) || ':' || CAST(u.i AS VARCHAR))
+                  ELSE '' END AS media_ref
+      FROM documents, UNNEST(range(0, 6)) AS u(i)
+"""
+
+
+def _synth_interleaved(d: DataFrame) -> DataFrame:
+    """(doc_id, spans): the Spark twin of _SPAN_SYNTH_SQL."""
+    i_seq = F.sequence(F.lit(0), F.lit(5))
+    spans = F.transform(
+        i_seq,
+        lambda i: F.struct(
+            F.when(i % 3 == 2, F.lit("image")).otherwise(F.lit("text")).alias("kind"),
+            F.when(i % 3 == 2, F.lit("")).otherwise(
+                F.col("text").substr(i * 7 + 1, F.lit(7))
+            ).alias("text"),
+            F.when(
+                i % 3 == 2,
+                F.concat(
+                    F.lit("m://"),
+                    F.md5(
+                        F.concat(
+                            (F.col("doc_id") % 41).cast("string"),
+                            F.lit(":"),
+                            i.cast("string"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(F.lit(""))
+            .alias("media_ref"),
+            (i * 100).cast("int").alias("offset"),
+        ),
+    )
+    return d.select("doc_id", spans.alias("spans"))
+
+
+@register(
+    "span_offset_repair",
+    f"""
+    -- offsets recomputed as the cumulative rendered cost of preceding
+    -- spans (text = char length, media = 1 placeholder char); the
+    -- synthesized offsets are stale (i*100) on purpose
+    WITH sp AS ({_SPAN_SYNTH_SQL})
+    SELECT doc_id, pos, kind,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'text' THEN length(stext) ELSE 1 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS INTEGER) AS offset
+    FROM sp
+    """,
+)
+def span_offset_repair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span offset repair (operators/spans.repair_offsets): stale
+    offsets on an interleaved corpus are recomputed as per-doc prefix
+    sums of rendered span cost; the gate re-explodes the repaired docs
+    so the oracle checks every (doc, pos) offset value."""
+    from osm2gtfs_spark.operators import spans as SP
+
+    d = tpch.load(spark, sf_dir, "documents")
+    repaired = SP.repair_offsets(_synth_interleaved(d), media_cost=1)
+    return SP.explode_spans(repaired).select("doc_id", "pos", "kind", "offset")
+
+
+@register(
+    "media_asset_dedup",
+    f"""
+    -- exact media-asset dedup across the corpus: one row per distinct
+    -- media_ref with its canonical (first-occurrence) owner and copy
+    -- counts. Winner = min(doc_id*8 + pos) (pos < 8, so the packed key
+    -- orders exactly like (doc_id, pos))
+    WITH sp AS ({_SPAN_SYNTH_SQL})
+    SELECT media_ref,
+           MIN(doc_id * 8 + pos) // 8 AS canonical_doc,
+           CAST(MIN(doc_id * 8 + pos) % 8 AS INTEGER) AS canonical_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM sp WHERE kind <> 'text'
+    GROUP BY media_ref
+    """,
+)
+def media_asset_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-asset dedup (operators/spans.media_asset_table): the same
+    image referenced from many interleaved documents collapses to one
+    asset row with a deterministic canonical owner — a min-struct
+    groupBy on the content key, map-side combining, no collected
+    posting lists."""
+    from osm2gtfs_spark.operators import spans as SP
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return SP.media_asset_table(_synth_interleaved(d))
+
+
+@register(
+    "pack_interleaved_chunks",
+    f"""
+    -- span-granular concat-and-chunk packing: text spans cost their
+    -- whitespace token count, media spans a fixed 5-token placeholder;
+    -- docs concatenate bucket-locally (bucket = doc_id % 8) and are cut
+    -- every 32 tokens; spans straddling a cut split
+    WITH sp AS ({_SPAN_SYNTH_SQL}),
+    costed AS (
+      SELECT doc_id, pos, kind,
+             CASE WHEN kind <> 'text' THEN 5
+                  WHEN length(stext) = 0 THEN 0
+                  ELSE length(stext) - length(replace(stext, ' ', '')) + 1
+             END AS cost
+      FROM sp),
+    flat AS (
+      SELECT doc_id, pos, kind, cost,
+             COALESCE(SUM(cost) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_off
+      FROM costed WHERE cost > 0),
+    doc_pos AS (
+      SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS bucket,
+             COALESCE(SUM(SUM(cost)) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_start
+      FROM costed WHERE cost > 0 GROUP BY doc_id),
+    placed AS (
+      SELECT f.doc_id, f.pos, f.kind, dp.bucket,
+             CAST(dp.doc_start + f.span_off AS BIGINT) AS s,
+             CAST(dp.doc_start + f.span_off + f.cost AS BIGINT) AS e
+      FROM flat f JOIN doc_pos dp ON f.doc_id = dp.doc_id),
+    seg AS (
+      SELECT doc_id, pos, kind, bucket, s, e, u.c AS chunk_id
+      FROM placed, UNNEST(range(s // 32, (e - 1) // 32 + 1)) AS u(c))
+    SELECT doc_id, pos, kind, bucket,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(s, chunk_id * 32) - s AS BIGINT) AS span_tok_start,
+           CAST(LEAST(e, (chunk_id + 1) * 32) - s AS BIGINT) AS span_tok_end,
+           CAST(GREATEST(s, chunk_id * 32) - chunk_id * 32 AS BIGINT) AS chunk_tok_start
+    FROM seg
+    """,
+)
+def pack_interleaved_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved sequence packing (operators/spans.pack_interleaved):
+    the span-granular twin of pack_sequences — media spans carry a
+    fixed placeholder token budget, per-bucket running-offset windows
+    (never global), bounded straddle fanout."""
+    from osm2gtfs_spark.operators import spans as SP
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return SP.pack_interleaved(
+        _synth_interleaved(d), budget=32, media_tokens=5, n_buckets=8
     )

@@ -57,6 +57,10 @@ AUDIT = [
     "minhash_fast_pairs",
     "corpus_prep_packed",
     "snap_to_polyline",
+    # round-5 continuation: interleaved-span family
+    "span_offset_repair",
+    "media_asset_dedup",
+    "pack_interleaved_chunks",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
