@@ -1409,3 +1409,225 @@ def raster_regions(
             (F.coalesce(F.col("_deg"), F.lit(0)) < 4).alias("is_boundary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment intersection join / trace dwell detection / turn classification
+# ---------------------------------------------------------------------------
+
+_IX_SHIFT = 2**26
+
+
+def _segment_cells(
+    seg: DataFrame, id_col: str, res: int, max_cells: int, prefix: str
+) -> DataFrame:
+    """One row per (segment, covering bbox cell). The cover is the full
+    integer rectangle [min_ix..max_ix] × [min_iy..max_iy] of the
+    segment's endpoints — a complete superset of every cell the segment
+    touches (two intersecting segments meet at a point inside BOTH
+    bboxes, hence inside a shared cell), unlike sampled rasterization
+    which can corner-cut. Fanout is (w+1)(h+1); a segment whose cover
+    exceeds ``max_cells`` fails the job loudly (res too fine for the
+    segment lengths) instead of silently exploding a task."""
+    p = prefix
+    ix1, ix2 = cell_ix(f"{p}lon1", res), cell_ix(f"{p}lon2", res)
+    iy1, iy2 = cell_iy(f"{p}lat1", res), cell_iy(f"{p}lat2", res)
+    lo_x, hi_x = F.least(ix1, ix2), F.greatest(ix1, ix2)
+    lo_y, hi_y = F.least(iy1, iy2), F.greatest(iy1, iy2)
+    n_cells = (hi_x - lo_x + 1) * (hi_y - lo_y + 1)
+    guard = F.when(
+        n_cells > max_cells,
+        F.raise_error(
+            F.concat(
+                F.lit(f"segment bbox cover exceeds max_cells={max_cells} "
+                      f"at res={res}: "),
+                n_cells.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(hi_x)
+    cells = F.flatten(
+        F.transform(
+            F.sequence(lo_x, guard),
+            lambda ix: F.transform(
+                F.sequence(lo_y, hi_y), lambda iy: ix * F.lit(_IX_SHIFT) + iy
+            ),
+        )
+    )
+    return seg.select(
+        id_col, f"{p}lat1", f"{p}lon1", f"{p}lat2", f"{p}lon2",
+        F.explode(cells).alias("_cell"),
+    )
+
+
+def segment_intersections(
+    seg_a: DataFrame,
+    seg_b: DataFrame,
+    res: int = 8,
+    int_scale: int = 1_000_000,
+    max_cells: int = 256,
+) -> DataFrame:
+    """(a_id, b_id, t_permille, u_permille): every properly-intersecting
+    pair between two segment sets, with the intersection's parametric
+    position on each segment in integer permille.
+
+    Exact arithmetic: endpoints are floored to ``int_scale``-scaled
+    integers, the test is pure 64-bit cross-product sign math
+    (den = r×s, t = (q−p)×s / den, u = (q−p)×r / den; proper crossing
+    ⇔ den≠0 ∧ 0<t_num<den ∧ 0<u_num<den after normalizing den>0) — no
+    floats, so the DuckDB oracle reproduces every bit. Touching or
+    collinear-overlapping pairs are excluded by definition (open
+    interval), which keeps the predicate deterministic. Overflow
+    bound: |cross| ≤ 2·max|scaled coord|·max|scaled delta|; at the
+    default scale any two points on Earth stay < 2^63 for deltas up to
+    ~4°; pass a smaller ``int_scale`` for intercontinental segments.
+
+    Scale shape: candidates come from equi-joining complete bbox-cell
+    covers (:func:`_segment_cells`) — shuffle keyed by cell id, never a
+    cross join; duplicate candidates from multi-cell overlap are
+    dropped by a distinct on the pair key before the exact test. The
+    oracle replay is the brute-force quadratic join with a bbox
+    prefilter — tractable only at gate scale, which is the point: the
+    bucketed plan must reproduce the quadratic semantics exactly.
+
+    Reference analog: none (the reference never intersects ways); this
+    is the missing geometric-join primitive of the north rule's
+    spatial-join family.
+    """
+    inputs = {"a": seg_a, "b": seg_b}
+    sides = {}
+    for p, seg in inputs.items():
+        named = seg.select(
+            F.col(seg.columns[0]).alias(f"{p}_id"),
+            F.col("lat1").alias(f"_{p}lat1"),
+            F.col("lon1").alias(f"_{p}lon1"),
+            F.col("lat2").alias(f"_{p}lat2"),
+            F.col("lon2").alias(f"_{p}lon2"),
+        )
+        sides[p] = _segment_cells(named, f"{p}_id", res, max_cells, f"_{p}")
+    cand = (
+        sides["a"].join(sides["b"], "_cell")
+        .drop("_cell")
+        .distinct()
+    )
+    s = float(int_scale)
+    px, py = F.floor(F.col("_alon1") * s), F.floor(F.col("_alat1") * s)
+    rx = F.floor(F.col("_alon2") * s) - px
+    ry = F.floor(F.col("_alat2") * s) - py
+    qx, qy = F.floor(F.col("_blon1") * s), F.floor(F.col("_blat1") * s)
+    sx = F.floor(F.col("_blon2") * s) - qx
+    sy = F.floor(F.col("_blat2") * s) - qy
+    qpx, qpy = qx - px, qy - py
+    den0 = rx * sy - ry * sx
+    t0 = qpx * sy - qpy * sx
+    u0 = qpx * ry - qpy * rx
+    sign = F.when(den0 < 0, F.lit(-1)).otherwise(F.lit(1))
+    den, t_num, u_num = den0 * sign, t0 * sign, u0 * sign
+    return (
+        cand.withColumn("_den", den)
+        .withColumn("_tn", t_num)
+        .withColumn("_un", u_num)
+        .filter(
+            (F.col("_den") != 0)
+            & (F.col("_tn") > 0) & (F.col("_tn") < F.col("_den"))
+            & (F.col("_un") > 0) & (F.col("_un") < F.col("_den"))
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.expr("(_tn * 1000) div _den").alias("t_permille"),
+            F.expr("(_un * 1000) div _den").alias("u_permille"),
+        )
+    )
+
+
+def dwell_detect(
+    traces: DataFrame,
+    step_thr: float,
+    min_run: int = 3,
+    int_scale: int = 1_000_000,
+    trace_col: str = "trace_id",
+    seq_col: str = "obs_seq",
+) -> DataFrame:
+    """(trace_id, dwell_id, start_seq, end_seq, n_points): maximal runs
+    of ≥ ``min_run`` consecutive observations whose step distance stays
+    ≤ ``step_thr`` degrees — the stopped/dwelling episodes of a vehicle
+    trace (depot holds, terminal layovers, traffic standstill).
+
+    A dwell of k points covers k−1 small steps, so a run of n small
+    steps yields n+1 points and the threshold is on STEPS: runs with
+    n ≥ min_run − 1 qualify. Step smallness is exact integer math on
+    ``int_scale``-scaled coordinates (dx² + dy² ≤ thr²), so the oracle
+    agrees bit-for-bit. Run segmentation is the standard gaps-and-
+    islands window: a break flag, its prefix sum as run id, one
+    aggregate — two per-trace windows, no Python, skew bounded by the
+    longest trace (same bound as every per-key window here)."""
+    thr2 = int(step_thr * int_scale) ** 2
+    s = float(int_scale)
+    w = Window.partitionBy(trace_col).orderBy(seq_col)
+    x, y = F.floor(F.col("lon") * s), F.floor(F.col("lat") * s)
+    dx = x - F.lag(x).over(w)
+    dy = y - F.lag(y).over(w)
+    small = (dx * dx + dy * dy) <= F.lit(thr2)
+    stepped = traces.select(
+        trace_col,
+        seq_col,
+        small.alias("_small"),
+        F.lag(seq_col).over(w).alias("_prev_seq"),
+    ).filter(F.col("_small").isNotNull())
+    brk = F.when(
+        F.col("_small")
+        & F.coalesce(F.lag("_small").over(w), F.lit(False)),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    runs = stepped.withColumn(
+        "_run", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).filter(F.col("_small"))
+    agg = runs.groupBy(trace_col, "_run").agg(
+        F.min("_prev_seq").alias("start_seq"),
+        F.max(seq_col).alias("end_seq"),
+        (F.count(F.lit(1)) + 1).alias("n_points"),
+    ).filter(F.col("n_points") >= min_run)
+    wo = Window.partitionBy(trace_col).orderBy("start_seq")
+    return agg.select(
+        trace_col,
+        F.row_number().over(wo).alias("dwell_id"),
+        "start_seq",
+        "end_seq",
+        "n_points",
+    )
+
+
+def turn_classify(
+    verts: DataFrame,
+    straight_eps_deg2: float = 0.0,
+    int_scale: int = 1_000_000,
+    shape_col: str = "shape_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """(shape_id, seq, turn): per interior vertex, whether the polyline
+    turns 'L', 'R' or runs 'S'traight there — the sign of the integer
+    cross product of the incoming and outgoing direction vectors on
+    ``int_scale``-scaled coordinates (exact, trig-free; bearings via
+    atan2 would differ at ulp level between engines, the sign never
+    does). ``straight_eps_deg2`` deadbands near-collinear jitter: |cross|
+    ≤ eps·scale² classifies as straight. One per-shape window pass
+    (lag + lead), pure codegen."""
+    eps = int(straight_eps_deg2 * int_scale * int_scale)
+    s = float(int_scale)
+    w = Window.partitionBy(shape_col).orderBy(seq_col)
+    x, y = F.floor(F.col("lon") * s), F.floor(F.col("lat") * s)
+    ax = x - F.lag(x).over(w)
+    ay = y - F.lag(y).over(w)
+    bx = F.lead(x).over(w) - x
+    by = F.lead(y).over(w) - y
+    cross = ax * by - ay * bx
+    turn = (
+        F.when(F.abs(cross) <= F.lit(eps), F.lit("S"))
+        .when(cross > 0, F.lit("L"))
+        .otherwise(F.lit("R"))
+    )
+    return (
+        verts.select(shape_col, seq_col, cross.alias("_c"), turn.alias("turn"))
+        .filter(F.col("_c").isNotNull())
+        .select(shape_col, seq_col, "turn")
+    )

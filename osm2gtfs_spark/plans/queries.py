@@ -71,6 +71,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "segment_intersection_join",
+    "dwell_detect_runs",
+    "turn_classification",
     "span_offset_repair",
     "media_asset_dedup",
     "pack_interleaved_chunks",
@@ -3842,3 +3845,222 @@ def pack_interleaved_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.pack_interleaved(
         _synth_interleaved(d), budget=32, media_tokens=5, n_buckets=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometric joins & trace analytics (operators/spatial.py tail)
+# ---------------------------------------------------------------------------
+
+# Synthesized short segments in a 20°x20° box (dense enough to cross):
+# start = box-scattered point, end = start + up to ±2° delta. Pure
+# integer/IEEE arithmetic, mirrored verbatim in the oracle CTEs.
+_SEG_A_SQL = """
+      SELECT c_custkey AS a_id,
+             -10 + ((c_custkey * 7919) % 20000) / 1000.0  AS lat1,
+             -10 + ((c_custkey * 104729) % 20000) / 1000.0 AS lon1,
+             -10 + ((c_custkey * 7919) % 20000) / 1000.0
+                 + (((c_custkey * 31) % 4000) / 1000.0 - 2.0) AS lat2,
+             -10 + ((c_custkey * 104729) % 20000) / 1000.0
+                 + (((c_custkey * 37) % 4000) / 1000.0 - 2.0) AS lon2
+      FROM customer
+"""
+_SEG_B_SQL = """
+      SELECT s_suppkey AS b_id,
+             -10 + ((s_suppkey * 6151) % 20000) / 1000.0  AS lat1,
+             -10 + ((s_suppkey * 92821) % 20000) / 1000.0 AS lon1,
+             -10 + ((s_suppkey * 6151) % 20000) / 1000.0
+                 + (((s_suppkey * 41) % 4000) / 1000.0 - 2.0) AS lat2,
+             -10 + ((s_suppkey * 92821) % 20000) / 1000.0
+                 + (((s_suppkey * 43) % 4000) / 1000.0 - 2.0) AS lon2
+      FROM supplier
+"""
+
+
+def _synth_segments(spark: SparkSession, sf_dir: str):
+    cust = tpch.load(spark, sf_dir, "customer")
+    supp = tpch.load(spark, sf_dir, "supplier")
+
+    def seg(df, key, m_lat, m_lon, m_dlat, m_dlon, out_id):
+        k = F.col(key)
+        lat1 = -10 + ((k * m_lat) % 20000) / 1000.0
+        lon1 = -10 + ((k * m_lon) % 20000) / 1000.0
+        return df.select(
+            k.alias(out_id),
+            lat1.alias("lat1"),
+            lon1.alias("lon1"),
+            (lat1 + (((k * m_dlat) % 4000) / 1000.0 - 2.0)).alias("lat2"),
+            (lon1 + (((k * m_dlon) % 4000) / 1000.0 - 2.0)).alias("lon2"),
+        )
+
+    a = seg(cust, "c_custkey", 7919, 104729, 31, 37, "a_id")
+    b = seg(supp, "s_suppkey", 6151, 92821, 41, 43, "b_id")
+    return a, b
+
+
+@register(
+    "segment_intersection_join",
+    f"""
+    -- every properly-crossing (A, B) segment pair with integer-exact
+    -- parametric positions; the oracle is the brute quadratic join with
+    -- a bbox prefilter — the Spark side must reproduce it from
+    -- cell-bucketed candidates
+    WITH a AS ({_SEG_A_SQL}),
+    b AS ({_SEG_B_SQL}),
+    sa AS (SELECT a_id,
+                  CAST(floor(lon1 * 1000000.0) AS BIGINT) AS px,
+                  CAST(floor(lat1 * 1000000.0) AS BIGINT) AS py,
+                  CAST(floor(lon2 * 1000000.0) AS BIGINT) - CAST(floor(lon1 * 1000000.0) AS BIGINT) AS rx,
+                  CAST(floor(lat2 * 1000000.0) AS BIGINT) - CAST(floor(lat1 * 1000000.0) AS BIGINT) AS ry,
+                  LEAST(lat1, lat2) AS alo, GREATEST(lat1, lat2) AS ahi,
+                  LEAST(lon1, lon2) AS alox, GREATEST(lon1, lon2) AS ahix
+           FROM a),
+    sb AS (SELECT b_id,
+                  CAST(floor(lon1 * 1000000.0) AS BIGINT) AS qx,
+                  CAST(floor(lat1 * 1000000.0) AS BIGINT) AS qy,
+                  CAST(floor(lon2 * 1000000.0) AS BIGINT) - CAST(floor(lon1 * 1000000.0) AS BIGINT) AS sx,
+                  CAST(floor(lat2 * 1000000.0) AS BIGINT) - CAST(floor(lat1 * 1000000.0) AS BIGINT) AS sy,
+                  LEAST(lat1, lat2) AS blo, GREATEST(lat1, lat2) AS bhi,
+                  LEAST(lon1, lon2) AS blox, GREATEST(lon1, lon2) AS bhix
+           FROM b),
+    cand AS (
+      SELECT sa.*, sb.*,
+             (rx * sy - ry * sx) AS den0,
+             ((qx - px) * sy - (qy - py) * sx) AS t0,
+             ((qx - px) * ry - (qy - py) * rx) AS u0
+      FROM sa JOIN sb
+        ON sa.alo <= sb.bhi AND sb.blo <= sa.ahi
+       AND sa.alox <= sb.bhix AND sb.blox <= sa.ahix),
+    nrm AS (
+      SELECT a_id, b_id,
+             CASE WHEN den0 < 0 THEN -den0 ELSE den0 END AS den,
+             CASE WHEN den0 < 0 THEN -t0 ELSE t0 END AS tn,
+             CASE WHEN den0 < 0 THEN -u0 ELSE u0 END AS un
+      FROM cand WHERE den0 <> 0)
+    SELECT a_id, b_id,
+           (tn * 1000) // den AS t_permille,
+           (un * 1000) // den AS u_permille
+    FROM nrm WHERE tn > 0 AND tn < den AND un > 0 AND un < den
+    """,
+)
+def segment_intersection_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment-intersection join (operators/spatial
+    .segment_intersections): cell-bucketed bbox-cover candidates, pure
+    64-bit cross-product sign test, integer permille positions."""
+    from osm2gtfs_spark.operators.spatial import segment_intersections
+
+    a, b = _synth_segments(spark, sf_dir)
+    return segment_intersections(a, b, res=7, int_scale=1_000_000)
+
+
+@register(
+    "dwell_detect_runs",
+    """
+    -- gaps-and-islands dwell detection over synthesized traces whose
+    -- position is closed-form in obs_seq: tiny drift inside blocks,
+    -- jumps at block boundaries (lat blocks of 7, lon blocks of 5)
+    WITH tr AS (
+      SELECT c_custkey % 25 AS trace_id, c_custkey // 25 AS obs_seq,
+             -20.0 + (c_custkey % 25) + (c_custkey // 25 // 7) * 0.01
+                   + (c_custkey // 25 % 7) * 0.000001 AS lat,
+             10.0 + (c_custkey % 25) + (c_custkey // 25 // 5) * 0.01
+                  + (c_custkey // 25 % 5) * 0.000001 AS lon
+      FROM customer),
+    st AS (
+      SELECT trace_id, obs_seq,
+             CAST(floor(lon * 1000000.0) AS BIGINT)
+               - lag(CAST(floor(lon * 1000000.0) AS BIGINT))
+                 OVER (PARTITION BY trace_id ORDER BY obs_seq) AS dx,
+             CAST(floor(lat * 1000000.0) AS BIGINT)
+               - lag(CAST(floor(lat * 1000000.0) AS BIGINT))
+                 OVER (PARTITION BY trace_id ORDER BY obs_seq) AS dy,
+             lag(obs_seq) OVER (PARTITION BY trace_id ORDER BY obs_seq) AS prev_seq
+      FROM tr),
+    flg AS (
+      SELECT trace_id, obs_seq, prev_seq,
+             (dx * dx + dy * dy) <= 100 AS small
+      FROM st WHERE dx IS NOT NULL),
+    brk AS (
+      SELECT *, CASE WHEN small AND COALESCE(
+                   lag(small) OVER (PARTITION BY trace_id ORDER BY obs_seq), FALSE)
+                 THEN 0 ELSE 1 END AS b
+      FROM flg),
+    runs AS (
+      SELECT *, SUM(b) OVER (PARTITION BY trace_id ORDER BY obs_seq
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM brk),
+    agg AS (
+      SELECT trace_id, run, MIN(prev_seq) AS start_seq, MAX(obs_seq) AS end_seq,
+             CAST(COUNT(*) + 1 AS BIGINT) AS n_points
+      FROM runs WHERE small GROUP BY trace_id, run)
+    SELECT trace_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY start_seq) AS INTEGER) AS dwell_id,
+           start_seq, end_seq, n_points
+    FROM agg WHERE n_points >= 4
+    """,
+)
+def dwell_detect_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell detection (operators/spatial.dwell_detect): maximal
+    small-step runs via the gaps-and-islands window — exact integer
+    step test (10⁻⁵ deg threshold → scaled thr² = 100)."""
+    from osm2gtfs_spark.operators.spatial import dwell_detect
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    seq = F.expr("c_custkey div 25")
+    traces = cust.select(
+        (k % 25).alias("trace_id"),
+        seq.alias("obs_seq"),
+        (
+            F.lit(-20.0) + (k % 25)
+            + F.expr("c_custkey div 25 div 7") * 0.01
+            + F.expr("c_custkey div 25 % 7") * 0.000001
+        ).alias("lat"),
+        (
+            F.lit(10.0) + (k % 25)
+            + F.expr("c_custkey div 25 div 5") * 0.01
+            + F.expr("c_custkey div 25 % 5") * 0.000001
+        ).alias("lon"),
+    )
+    return dwell_detect(traces, step_thr=0.00001, min_run=4)
+
+
+@register(
+    "turn_classification",
+    """
+    -- per interior vertex: L / R / S by the exact integer cross-product
+    -- sign of incoming x outgoing direction vectors
+    WITH v AS (
+      SELECT c_custkey % 25 AS shape_id, c_custkey // 25 AS seq,
+             CAST(floor(({lat}) * 1000000.0) AS BIGINT) AS y,
+             CAST(floor(({lon}) * 1000000.0) AS BIGINT) AS x
+      FROM customer),
+    d AS (
+      SELECT shape_id, seq,
+             x - lag(x)  OVER w AS ax, y - lag(y)  OVER w AS ay,
+             lead(x) OVER w - x AS bx, lead(y) OVER w - y AS by
+      FROM v WINDOW w AS (PARTITION BY shape_id ORDER BY seq))
+    SELECT shape_id, seq,
+           CASE WHEN ax * by - ay * bx = 0 THEN 'S'
+                WHEN ax * by - ay * bx > 0 THEN 'L' ELSE 'R' END AS turn
+    FROM d WHERE ax IS NOT NULL AND bx IS NOT NULL
+    """.format(
+        lat=tpch.derived_lat_sql("c_custkey"),
+        lon=tpch.derived_lon_sql("c_custkey"),
+    ),
+)
+def turn_classification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn classification (operators/spatial.turn_classify): trig-free
+    L/R/S per vertex — cross-product sign on scaled integers (bearings
+    via atan2 would differ at ulp level across engines; the sign never
+    does)."""
+    from osm2gtfs_spark.operators.spatial import turn_classify
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    verts = cust.select(
+        (k % 25).alias("shape_id"),
+        F.expr("c_custkey div 25").alias("seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    return turn_classify(verts)

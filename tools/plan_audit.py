@@ -61,6 +61,9 @@ AUDIT = [
     "span_offset_repair",
     "media_asset_dedup",
     "pack_interleaved_chunks",
+    "segment_intersection_join",
+    "dwell_detect_runs",
+    "turn_classification",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
