@@ -1631,3 +1631,129 @@ def turn_classify(
         .filter(F.col("_c").isNotNull())
         .select(shape_col, seq_col, "turn")
     )
+
+
+def corridor_match(
+    points: DataFrame,
+    segments: DataFrame,
+    res: int,
+    radius_deg: float,
+    k_ring: int = 1,
+    point_key: str = "stop_key",
+    route_col: str = "route_id",
+    max_cells: int = 256,
+) -> DataFrame:
+    """(point_key, route_id): every point lying within ``radius_deg``
+    (clamped perpendicular degree distance) of ANY segment of a route's
+    geometry — the corridor containment query ("which stops does this
+    route pass?"), the set-valued sibling of :func:`snap_to_polyline`'s
+    argmin.
+
+    Completeness is by construction, not sampling: segments contribute
+    their full bbox-cell cover (:func:`_segment_cells` — a superset of
+    every touched cell), points explode their Chebyshev ``k_ring``; the
+    nearest segment point to a hit lies in a covered cell within ring
+    reach, so no hit can be missed — provided ``radius_deg ≤ k_ring ·
+    cell_dim``, which is validated up front exactly as in
+    :func:`within_distance_pairs`. Distance dialect is
+    :func:`snap_to_polyline`'s (shared-IEEE closed form, explicit
+    zero-length branch). Scale shape: cell equi join, probe-side-only
+    ring fanout, distinct on (point, route) — never a cross join."""
+    min_cell_dim = 180.0 / (2**res)
+    if radius_deg > k_ring * min_cell_dim:
+        raise ValueError(
+            f"radius_deg={radius_deg} exceeds ring reach "
+            f"{k_ring} * {min_cell_dim} at res={res}; hits would be dropped"
+        )
+    # the cover CARRIES the segment coords (no synthetic segment id, no
+    # join-back — a generated id evaluated in two plan branches is a
+    # correctness hazard under re-computation)
+    named = segments.select(
+        F.col(route_col),
+        F.col("lat1").cast("double").alias("_slat1"),
+        F.col("lon1").cast("double").alias("_slon1"),
+        F.col("lat2").cast("double").alias("_slat2"),
+        F.col("lon2").cast("double").alias("_slon2"),
+    )
+    cov = _segment_cells(named, route_col, res, max_cells, "_s")
+    pts = points.select(
+        F.col(point_key),
+        F.col("lat").alias("_p_lat"),
+        F.col("lon").alias("_p_lon"),
+        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("_rcell"),
+    ).withColumn(
+        "_cell",
+        (F.col("_rcell") - F.lit(res) * F.lit(2**52)),
+    )
+    cand = (
+        pts.join(cov, "_cell")
+        .select(
+            point_key, "_p_lat", "_p_lon", route_col,
+            "_slat1", "_slon1", "_slat2", "_slon2",
+        )
+        .distinct()
+    )
+    vx = F.col("_slat2") - F.col("_slat1")
+    vy = F.col("_slon2") - F.col("_slon1")
+    wx = F.col("_p_lat") - F.col("_slat1")
+    wy = F.col("_p_lon") - F.col("_slon1")
+    denom = vx * vx + vy * vy
+    t = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), (wx * vx + wy * vy) / denom))
+    )
+    dx = F.col("_p_lat") - (F.col("_slat1") + t * vx)
+    dy = F.col("_p_lon") - (F.col("_slon1") + t * vy)
+    hit = cand.filter(dx * dx + dy * dy <= F.lit(radius_deg) * F.lit(radius_deg))
+    return hit.select(point_key, route_col).distinct()
+
+
+def idw_grid(
+    obs: DataFrame,
+    grid: DataFrame,
+    res: int,
+    k_ring: int = 1,
+    value_col: str = "value",
+    grid_key: str = "gid",
+    int_scale: int = 1_000_000,
+    w_scale: int = 10**12,
+) -> DataFrame:
+    """(gid, n_obs, pred): inverse-distance-weighted interpolation of an
+    integer observation field onto grid points, neighborhood-bounded —
+    the coverage/heat surface estimator of the tiling family.
+
+    Each grid point sees only observations in its Chebyshev ``k_ring``
+    cell neighborhood (cell equi join on the obs cell, ring exploded on
+    the grid side — never a cross join; estimator support is
+    deliberately local, the standard practice for IDW at scale).
+    Weights are EXACT integers: w = w_scale div (1 + d²_scaled) on
+    ``int_scale``-floored coordinates, pred = Σw·v div Σw — every bit
+    reproducible by the oracle; an observation coincident with the grid
+    point dominates at weight w_scale. Overflow bound: Σw·v ≤
+    neighbors · w_scale · max|v| — keep w_scale·max|v| ≤ ~10¹⁴ for
+    10⁴-point neighborhoods."""
+    s = float(int_scale)
+    o = obs.select(
+        F.floor(F.col("lon") * s).alias("_ox"),
+        F.floor(F.col("lat") * s).alias("_oy"),
+        F.col(value_col).alias("_v"),
+        cell_id("lat", "lon", res).alias("_cell"),
+    )
+    g = grid.select(
+        F.col(grid_key),
+        F.floor(F.col("lon") * s).alias("_gx"),
+        F.floor(F.col("lat") * s).alias("_gy"),
+        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("_cell"),
+    )
+    d2 = (F.col("_ox") - F.col("_gx")) * (F.col("_ox") - F.col("_gx")) + (
+        F.col("_oy") - F.col("_gy")
+    ) * (F.col("_oy") - F.col("_gy"))
+    w = F.expr(f"{w_scale} div (1 + _d2)")
+    pairs = g.join(o, "_cell").withColumn("_d2", d2).withColumn("_w", w)
+    agg = pairs.groupBy(grid_key).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_w") * F.col("_v")).alias("_wv"),
+        F.sum("_w").alias("_wsum"),
+    )
+    return agg.filter(F.col("_wsum") > 0).select(
+        grid_key, "n_obs", F.expr("_wv div _wsum").alias("pred")
+    )

@@ -71,6 +71,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "corridor_match_routes",
+    "idw_grid_interpolation",
     "segment_intersection_join",
     "dwell_detect_runs",
     "turn_classification",
@@ -4064,3 +4066,112 @@ def turn_classification_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tpch.derived_lon("c_custkey").alias("lon"),
     )
     return turn_classify(verts)
+
+
+@register(
+    "corridor_match_routes",
+    f"""
+    -- (stop, route) containment: stops within 0.05 deg of any segment
+    -- of the route's geometry; oracle = brute point x segment join with
+    -- the identical clamped-projection IEEE math
+    WITH seg AS ({_SEG_A_SQL}),
+    rts AS (SELECT a_id % 30 AS route_id, lat1, lon1, lat2, lon2 FROM seg),
+    pts AS (SELECT s_suppkey AS stop_key,
+                   -10 + ((s_suppkey * 6151) % 20000) / 1000.0  AS lat,
+                   -10 + ((s_suppkey * 92821) % 20000) / 1000.0 AS lon
+            FROM supplier),
+    d AS (
+      SELECT p.stop_key, r.route_id,
+             (r.lat2 - r.lat1) AS vx, (r.lon2 - r.lon1) AS vy,
+             (p.lat - r.lat1) AS wx, (p.lon - r.lon1) AS wy
+      FROM pts p, rts r),
+    t AS (
+      SELECT stop_key, route_id, vx, vy, wx, wy,
+             CASE WHEN vx * vx + vy * vy = 0 THEN 0.0
+                  ELSE GREATEST(0.0, LEAST(1.0, (wx * vx + wy * vy) / (vx * vx + vy * vy)))
+             END AS tt
+      FROM d)
+    SELECT DISTINCT stop_key, route_id
+    FROM t
+    WHERE (wx - tt * vx) * (wx - tt * vx) + (wy - tt * vy) * (wy - tt * vy)
+          <= 0.05 * 0.05
+    """,
+)
+def corridor_match_routes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor containment (operators/spatial.corridor_match): the
+    set-valued sibling of snap_to_polyline — complete bbox-cell-cover
+    candidates, ring-bounded, exact-IEEE clamped projection."""
+    from osm2gtfs_spark.operators.spatial import corridor_match
+
+    a, _ = _synth_segments(spark, sf_dir)
+    routes = a.select(
+        (F.col("a_id") % 30).alias("route_id"), "lat1", "lon1", "lat2", "lon2"
+    )
+    supp = tpch.load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    pts = supp.select(
+        k.alias("stop_key"),
+        (-10 + ((k * 6151) % 20000) / 1000.0).alias("lat"),
+        (-10 + ((k * 92821) % 20000) / 1000.0).alias("lon"),
+    )
+    return corridor_match(pts, routes, res=7, radius_deg=0.05, k_ring=1)
+
+
+@register(
+    "idw_grid_interpolation",
+    """
+    -- ring-bounded inverse-distance-weighted interpolation onto a grid:
+    -- integer weights w = 1e12 div (1 + d2_scaled), pred = sum(w*v) div
+    -- sum(w) — exact integer arithmetic end to end
+    WITH obs AS (
+      SELECT -10 + ((c_custkey * 7919) % 20000) / 1000.0  AS lat,
+             -10 + ((c_custkey * 104729) % 20000) / 1000.0 AS lon,
+             c_custkey % 97 AS v
+      FROM customer),
+    og AS (
+      SELECT CAST(floor(lon * 1000000.0) AS BIGINT) AS ox,
+             CAST(floor(lat * 1000000.0) AS BIGINT) AS oy,
+             v, LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 127) AS ix, LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 128.0) AS BIGINT), 127) AS iy
+      FROM obs),
+    grid AS (
+      SELECT CAST(range AS BIGINT) AS gid,
+             -10 + (range // 40) * 0.5 + 0.25 AS lat,
+             -10 + (range % 40) * 0.5 + 0.25  AS lon
+      FROM range(1600)),
+    gg AS (
+      SELECT gid, CAST(floor(lon * 1000000.0) AS BIGINT) AS gx,
+             CAST(floor(lat * 1000000.0) AS BIGINT) AS gy,
+             LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 127) AS ix, LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 128.0) AS BIGINT), 127) AS iy
+      FROM grid),
+    pairs AS (
+      SELECT g.gid,
+             (o.ox - g.gx) * (o.ox - g.gx) + (o.oy - g.gy) * (o.oy - g.gy) AS d2,
+             o.v
+      FROM gg g JOIN og o
+        ON LEAST(ABS(o.ix - g.ix), 128 - ABS(o.ix - g.ix)) <= 1
+       AND ABS(o.iy - g.iy) <= 1),
+    wtd AS (SELECT gid, 1000000000000 // (1 + d2) AS w, v FROM pairs)
+    SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(w * v) AS BIGINT) // CAST(SUM(w) AS BIGINT) AS pred
+    FROM wtd GROUP BY gid HAVING SUM(w) > 0
+    """,
+)
+def idw_grid_interpolation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW surface estimation (operators/spatial.idw_grid): Chebyshev
+    ring-bounded neighborhoods via the cell join, exact integer
+    weights — the tiling family's coverage/heat estimator."""
+    from osm2gtfs_spark.operators.spatial import idw_grid
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    obs = cust.select(
+        (-10 + ((k * 7919) % 20000) / 1000.0).alias("lat"),
+        (-10 + ((k * 104729) % 20000) / 1000.0).alias("lon"),
+        (k % 97).alias("value"),
+    )
+    g = spark.range(1600).select(
+        F.col("id").alias("gid"),
+        (-10 + F.expr("id div 40") * 0.5 + 0.25).alias("lat"),
+        (-10 + (F.col("id") % 40) * 0.5 + 0.25).alias("lon"),
+    )
+    return idw_grid(obs, g, res=7, k_ring=1)

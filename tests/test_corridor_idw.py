@@ -1,0 +1,85 @@
+"""corridor_match and idw_grid (operators/spatial.py) on hand-built
+geometry with known containment / interpolation answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm2gtfs_spark.operators.spatial import corridor_match, idw_grid
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "stop_key long, lat double, lon double")
+
+
+def _segs(spark, rows):
+    return spark.createDataFrame(
+        rows, "route_id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+
+
+def test_corridor_match_hits_and_misses(spark):
+    segs = _segs(spark, [(1, 0.0, 0.0, 0.0, 10.0), (2, 5.0, 0.0, 5.0, 10.0)])
+    pts = _pts(
+        spark,
+        [
+            (100, 0.04, 5.0),   # 0.04 off route 1 → hit
+            (101, 0.2, 5.0),    # 0.2 off → miss
+            (102, 5.0, 3.0),    # on route 2 → hit
+            (103, 2.5, 5.0),    # between both → miss
+            (104, 0.03, -0.02), # near route 1's endpoint (clamped t=0) → hit
+        ],
+    )
+    out = {(r.stop_key, r.route_id) for r in
+           corridor_match(pts, segs, res=6, radius_deg=0.05).collect()}
+    assert out == {(100, 1), (102, 2), (104, 1)}
+
+
+def test_corridor_match_multi_segment_route_one_row(spark):
+    # two touching segments of one route both within reach of a point →
+    # exactly one (stop, route) row
+    segs = _segs(spark, [(7, 0.0, 0.0, 0.0, 1.0), (7, 0.0, 1.0, 0.0, 2.0)])
+    pts = _pts(spark, [(5, 0.01, 1.0)])
+    out = corridor_match(pts, segs, res=6, radius_deg=0.05).collect()
+    assert len(out) == 1 and (out[0].stop_key, out[0].route_id) == (5, 7)
+
+
+def test_corridor_match_radius_guard(spark):
+    segs = _segs(spark, [(1, 0.0, 0.0, 0.0, 1.0)])
+    pts = _pts(spark, [(5, 0.0, 0.5)])
+    with pytest.raises(ValueError, match="ring reach"):
+        corridor_match(pts, segs, res=6, radius_deg=10.0)
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(rows, "lat double, lon double, value long")
+
+
+def _grid(spark, rows):
+    return spark.createDataFrame(rows, "gid long, lat double, lon double")
+
+
+def test_idw_exact_hit_dominates(spark):
+    # one obs exactly on the grid point (w = 1e12), one far (tiny w):
+    # integer-div prediction rounds to the coincident value
+    obs = _obs(spark, [(10.0, 10.0, 50), (10.5, 10.5, 1000)])
+    grid = _grid(spark, [(1, 10.0, 10.0)])
+    r = idw_grid(obs, grid, res=6, k_ring=1).collect()[0]
+    assert r.n_obs == 2
+    assert r.pred == 50  # 1e12*50 + eps*1000 over 1e12 + eps floors to 50
+
+
+def test_idw_symmetric_average(spark):
+    # two equidistant obs → exact mean
+    obs = _obs(spark, [(10.0, 10.1, 40), (10.0, 9.9, 60)])
+    grid = _grid(spark, [(1, 10.0, 10.0)])
+    r = idw_grid(obs, grid, res=6, k_ring=1).collect()[0]
+    assert r.pred == 50
+
+
+def test_idw_out_of_ring_excluded(spark):
+    # obs two rings away at res=6 (cell 2.8 deg) → grid point unserved
+    obs = _obs(spark, [(10.0, 50.0, 40)])
+    grid = _grid(spark, [(1, 10.0, 10.0)])
+    assert idw_grid(obs, grid, res=6, k_ring=1).count() == 0

@@ -64,6 +64,8 @@ AUDIT = [
     "segment_intersection_join",
     "dwell_detect_runs",
     "turn_classification",
+    "corridor_match_routes",
+    "idw_grid_interpolation",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
