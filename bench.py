@@ -163,6 +163,10 @@ def main() -> None:
         "cell_compact",
         "snap_to_polyline",
         "raster_region_extract",
+        "segment_intersection_join",
+        "corridor_match_routes",
+        "idw_grid_interpolation",
+        "pack_interleaved_chunks",
     ):
         fn = registry[gname]
         fn(spark, sf_dir).count()  # warm

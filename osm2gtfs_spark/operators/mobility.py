@@ -1,0 +1,168 @@
+"""Mobility analytics over traces and arrival events — the query-side
+consumers of the tiling + trace operators (OD flows, service headways,
+space-time matching).
+
+Reference analog: none directly — the reference emits GTFS; these are
+the analyses a transit agency runs OVER the emitted network and its
+observed traces (SURVEY.md §2 extension family, same status as the
+LLM-pipeline block).
+
+Scale notes: everything here is per-key windows and two-phase
+aggregates — no cross joins, no global windows, skew bounded by the
+hottest trace / (route, stop) pair; OD cells aggregate with map-side
+combining so the shuffle carries (cell-pair, partial count) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm2gtfs_spark.functions.geo import cell_id
+
+
+def od_matrix(
+    traces: DataFrame,
+    res: int,
+    trace_col: str = "trace_id",
+    seq_col: str = "obs_seq",
+) -> DataFrame:
+    """(o_cell, d_cell, n_trips): origin-destination flow matrix — each
+    trace contributes one trip from its first observation's cell to its
+    last observation's cell at resolution ``res``.
+
+    Endpoint election is a single min/max-struct aggregate per trace
+    (map-side combined, one shuffle), the flow count a second grouped
+    count — no windows over the full point stream, so a billion-point
+    trace table costs two combine-friendly aggregations."""
+    ends = traces.groupBy(trace_col).agg(
+        F.min(
+            F.struct(F.col(seq_col).alias("s"), F.col("lat").alias("la"),
+                     F.col("lon").alias("lo"))
+        ).alias("_o"),
+        F.max(
+            F.struct(F.col(seq_col).alias("s"), F.col("lat").alias("la"),
+                     F.col("lon").alias("lo"))
+        ).alias("_d"),
+    )
+    cells = ends.select(
+        cell_id(F.col("_o.la"), F.col("_o.lo"), res).alias("o_cell"),
+        cell_id(F.col("_d.la"), F.col("_d.lo"), res).alias("d_cell"),
+    )
+    return cells.groupBy("o_cell", "d_cell").agg(
+        F.count(F.lit(1)).alias("n_trips")
+    )
+
+
+def headway_stats(
+    arrivals: DataFrame,
+    route_col: str = "route_id",
+    stop_col: str = "stop_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(route_id, stop_id, n_trips, min_gap_ms, max_gap_ms, sum_gap_ms):
+    consecutive-arrival headway statistics per (route, stop) — the
+    service-frequency profile a schedule validator compares against the
+    published frequencies.
+
+    Gaps are integer epoch-millisecond differences over one per-key ordered
+    window (ties broken deterministically on ``tiebreak_col``), then a
+    grouped aggregate; all integer outputs, oracle bit-exact. Skew is
+    the busiest (route, stop)'s arrival count — the same per-key window
+    bound as every window operator here."""
+    w = Window.partitionBy(route_col, stop_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    epoch = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    gaps = arrivals.select(
+        route_col,
+        stop_col,
+        (epoch - F.lag(epoch).over(w)).alias("_gap"),
+    ).filter(F.col("_gap").isNotNull())
+    return gaps.groupBy(route_col, stop_col).agg(
+        (F.count(F.lit(1)) + 1).alias("n_trips"),
+        F.min("_gap").alias("min_gap_ms"),
+        F.max("_gap").alias("max_gap_ms"),
+        F.sum("_gap").alias("sum_gap_ms"),
+    )
+
+
+def space_time_match(
+    events: DataFrame,
+    points: DataFrame,
+    res: int,
+    window_ms: int,
+    k_ring: int = 1,
+    event_key: str = "event_id",
+) -> DataFrame:
+    """(event_id, trace_id, obs_seq, dt_ms): for each located+timestamped
+    event, the nearest trace observation in SPACE among those within
+    ``window_ms`` milliseconds in TIME — the spatiotemporal join that
+    attributes an incident/reading to the vehicle pass that caused it.
+
+    Candidates are pruned on BOTH axes before any geometry math: the
+    cell equi join bounds space (event explodes its ``k_ring``; points
+    carry their single cell) and an integer time-bucket equality bounds
+    time — each event probes its own and the two adjacent buckets of
+    width ``window_ms``, so a candidate pair always shares a (cell,
+    bucket) key and the shuffle is keyed by that composite, never a
+    cross join. The winner is a min-struct argmin on (d², |dt|, trace,
+    seq) — floats order, integers break ties, the emitted columns are
+    integers only (oracle-exact)."""
+    from osm2gtfs_spark.functions.geo import cell_ring
+
+    ev_epoch = F.unix_millis(F.col("ts").cast("timestamp"))
+    pt_epoch = F.unix_millis(F.col("ts").cast("timestamp"))
+    ev = events.select(
+        F.col(event_key),
+        F.col("lat").alias("_e_lat"),
+        F.col("lon").alias("_e_lon"),
+        ev_epoch.alias("_e_t"),
+        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("_cell"),
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                F.expr(f"_e_t div {window_ms} - 1"),
+                F.expr(f"_e_t div {window_ms}"),
+                F.expr(f"_e_t div {window_ms} + 1"),
+            )
+        ),
+    )
+    pt = points.select(
+        F.col("trace_id"),
+        F.col("obs_seq"),
+        F.col("lat").alias("_p_lat"),
+        F.col("lon").alias("_p_lon"),
+        pt_epoch.alias("_p_t"),
+        cell_id("lat", "lon", res).alias("_cell"),
+    ).withColumn("_bucket", F.expr(f"_p_t div {window_ms}"))
+    cand = (
+        ev.join(pt, ["_cell", "_bucket"])
+        .filter(F.abs(F.col("_p_t") - F.col("_e_t")) <= window_ms)
+        .select(
+            event_key, "_e_lat", "_e_lon", "_e_t",
+            "trace_id", "obs_seq", "_p_lat", "_p_lon", "_p_t",
+        )
+        .distinct()  # ring x bucket overlap can duplicate a pair
+    )
+    dx = F.col("_p_lat") - F.col("_e_lat")
+    dy = F.col("_p_lon") - F.col("_e_lon")
+    best = cand.groupBy(event_key).agg(
+        F.min(
+            F.struct(
+                (dx * dx + dy * dy).alias("d"),
+                F.abs(F.col("_p_t") - F.col("_e_t")).alias("adt"),
+                F.col("trace_id").alias("tr"),
+                F.col("obs_seq").alias("sq"),
+                (F.col("_p_t") - F.col("_e_t")).alias("dt"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        event_key,
+        F.col("_b.tr").alias("trace_id"),
+        F.col("_b.sq").alias("obs_seq"),
+        F.col("_b.dt").alias("dt_ms"),
+    )

@@ -71,6 +71,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "od_matrix_flows",
+    "headway_profile",
+    "space_time_match_events",
     "corridor_match_routes",
     "idw_grid_interpolation",
     "segment_intersection_join",
@@ -4175,3 +4178,142 @@ def idw_grid_interpolation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-10 + (F.col("id") % 40) * 0.5 + 0.25).alias("lon"),
     )
     return idw_grid(obs, g, res=7, k_ring=1)
+
+
+# ---------------------------------------------------------------------------
+# Mobility analytics (operators/mobility.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "od_matrix_flows",
+    f"""
+    -- origin-destination flow matrix: each trace's first and last
+    -- observation cells at res 5, grouped flow counts
+    WITH tr AS (
+      SELECT c_custkey % 100 AS trace_id, c_custkey // 100 AS obs_seq,
+             {tpch.derived_lat_sql('c_custkey')} AS lat,
+             {tpch.derived_lon_sql('c_custkey')} AS lon
+      FROM customer),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY obs_seq ASC)  AS rna,
+                ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY obs_seq DESC) AS rnd
+      FROM tr),
+    ends AS (
+      SELECT a.trace_id,
+             {cell_id_sql('a.lat', 'a.lon', 5)} AS o_cell,
+             {cell_id_sql('b.lat', 'b.lon', 5)} AS d_cell
+      FROM (SELECT * FROM r WHERE rna = 1) a
+      JOIN (SELECT * FROM r WHERE rnd = 1) b ON a.trace_id = b.trace_id)
+    SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n_trips
+    FROM ends GROUP BY o_cell, d_cell
+    """,
+)
+def od_matrix_flows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OD flow matrix (operators/mobility.od_matrix): endpoint election
+    by min/max-struct (one combine-friendly aggregate — no window over
+    the full point stream), then a grouped flow count."""
+    from osm2gtfs_spark.operators.mobility import od_matrix
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    traces = cust.select(
+        (k % 100).alias("trace_id"),
+        F.expr("c_custkey div 100").alias("obs_seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    return od_matrix(traces, res=5)
+
+
+@register(
+    "headway_profile",
+    """
+    -- consecutive-arrival headway statistics per (route, stop):
+    -- millisecond-epoch gaps, one ordered window + grouped aggregate
+    WITH a AS (
+      SELECT user_id % 20 AS route_id, event_id % 50 AS stop_id,
+             epoch_ms(ts) AS es, event_id
+      FROM events),
+    g AS (
+      SELECT route_id, stop_id,
+             es - lag(es) OVER (PARTITION BY route_id, stop_id
+                                ORDER BY es ASC, event_id ASC) AS gap
+      FROM a)
+    SELECT route_id, stop_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_trips,
+           MIN(gap) AS min_gap_ms, MAX(gap) AS max_gap_ms,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_ms
+    FROM g WHERE gap IS NOT NULL GROUP BY route_id, stop_id
+    """,
+)
+def headway_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headway statistics (operators/mobility.headway_stats): the
+    service-frequency profile — integer millisecond gaps,
+    deterministic tie-break, all map-side-combinable aggregates."""
+    from osm2gtfs_spark.operators.mobility import headway_stats
+
+    ev = tpch.load(spark, sf_dir, "events")
+    arr = ev.select(
+        (F.col("user_id") % 20).alias("route_id"),
+        (F.col("event_id") % 50).alias("stop_id"),
+        "ts",
+        "event_id",
+    )
+    return headway_stats(arr)
+
+
+@register(
+    "space_time_match_events",
+    """
+    -- spatiotemporal attribution: each incident event matched to the
+    -- nearest trace observation in space among those within 30 min;
+    -- oracle = brute time-window join with the identical argmin struct
+    WITH located AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS t,
+             -10 + ((event_id * 7919) % 20000) / 1000.0  AS lat,
+             -10 + ((event_id * 104729) % 20000) / 1000.0 AS lon
+      FROM events),
+    inc AS (SELECT * FROM located WHERE event_id % 97 = 0),
+    pts AS (SELECT * FROM located WHERE event_id % 97 <> 0),
+    cand AS (
+      SELECT i.event_id,
+             (p.lat - i.lat) * (p.lat - i.lat) + (p.lon - i.lon) * (p.lon - i.lon) AS d2,
+             ABS(p.t - i.t) AS adt, p.user_id AS trace_id, p.event_id AS obs_seq,
+             p.t - i.t AS dt,
+             LEAST(CAST(FLOOR((p.lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63) AS pix, LEAST(CAST(FLOOR((p.lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63) AS piy, LEAST(CAST(FLOOR((i.lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63) AS iix, LEAST(CAST(FLOOR((i.lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63) AS iiy
+      FROM inc i JOIN pts p ON ABS(p.t - i.t) <= 1800000),
+    ringed AS (
+      SELECT * FROM cand
+      WHERE LEAST(ABS(pix - iix), 64 - ABS(pix - iix)) <= 1 AND ABS(piy - iiy) <= 1),
+    w AS (
+      SELECT event_id, trace_id, obs_seq, dt,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY d2 ASC, adt ASC, trace_id ASC, obs_seq ASC) AS rn
+      FROM ringed)
+    SELECT event_id, trace_id, obs_seq, dt AS dt_ms FROM w WHERE rn = 1
+    """,
+)
+def space_time_match_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal join (operators/mobility.space_time_match):
+    candidates pruned on BOTH axes — cell-ring equi join in space,
+    integer time buckets in time — then a min-struct argmin."""
+    from osm2gtfs_spark.operators.mobility import space_time_match
+
+    ev = tpch.load(spark, sf_dir, "events")
+    k = F.col("event_id")
+    located = ev.select(
+        "event_id",
+        F.col("user_id"),
+        "ts",
+        (-10 + ((k * 7919) % 20000) / 1000.0).alias("lat"),
+        (-10 + ((k * 104729) % 20000) / 1000.0).alias("lon"),
+    )
+    inc = located.filter(k % 97 == 0).select("event_id", "lat", "lon", "ts")
+    pts = located.filter(k % 97 != 0).select(
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("obs_seq"),
+        "lat",
+        "lon",
+        "ts",
+    )
+    return space_time_match(inc, pts, res=6, window_ms=1_800_000, k_ring=1)

@@ -66,6 +66,9 @@ AUDIT = [
     "turn_classification",
     "corridor_match_routes",
     "idw_grid_interpolation",
+    "od_matrix_flows",
+    "headway_profile",
+    "space_time_match_events",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
