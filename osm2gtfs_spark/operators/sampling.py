@@ -48,3 +48,52 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    targets_permille: dict[str, int],
+    key_col: str,
+) -> DataFrame:
+    """Down-sample to a target DOMAIN MIXTURE, exactly and
+    deterministically: the output contains each stratum in proportion
+    ``targets_permille`` (per-mille shares) at the largest total size
+    the data affords, rows chosen by content-hash order.
+
+    The pretraining-mixture operator: "train on 50% web, 30% code, 20%
+    books" turns into per-stratum quotas k_s = (T · p_s) div 1000 with
+    T = min_s (n_s · 1000 div p_s) — the feasible total is capped by
+    the scarcest domain relative to its share; strata absent from
+    ``targets_permille`` are dropped. All-integer arithmetic, so the
+    result set is a pure function of the data (oracle bit-exact,
+    stable across layouts/retries).
+
+    Scale shape: one count aggregate (map-side combined), a 1-row
+    global min carrying one row per stratum into the exchange (the
+    sanctioned tiny-global-agg pattern), quotas broadcast back, and one
+    per-stratum hash-order window — the same skew bound as
+    :func:`stratified_sample`. No driver-side collect."""
+    if not targets_permille or sum(targets_permille.values()) > 1000:
+        raise ValueError("targets_permille must be nonempty, summing <= 1000")
+    tgt = df.sparkSession.createDataFrame(
+        list(targets_permille.items()), f"{strata_col} string, _p long"
+    )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(tgt), strata_col)
+    )
+    # global min over the tiny counts table (one row per stratum): an
+    # unpartitioned window — the SinglePartition it implies carries
+    # |strata| rows only (the sanctioned tiny-global pattern, same as
+    # indexing.global_index)
+    quotas = counts.withColumn(
+        "_t", F.min(F.expr("_n * 1000 div _p")).over(Window.partitionBy())
+    ).select(strata_col, F.expr("(_t * _p) div 1000").alias("_k"))
+    h = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    ranked = df.join(F.broadcast(quotas), strata_col).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("_rk") <= F.col("_k")).drop("_rk", "_k")

@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "mixture_sample_corpus",
     "od_matrix_flows",
     "headway_profile",
     "space_time_match_events",
@@ -4317,3 +4318,37 @@ def space_time_match_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     return space_time_match(inc, pts, res=6, window_ms=1_800_000, k_ring=1)
+
+
+@register(
+    "mixture_sample_corpus",
+    """
+    -- exact-quota domain-mixture sampling: targets src0:500,
+    -- src1:300, src2:200 permille; T = min(n*1000 div p), quota =
+    -- (T*p) div 1000, rows chosen in md5(key) order — all integer, a
+    -- pure function of the data
+    WITH tgt(source, p) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),
+    cnt AS (
+      SELECT d.source, COUNT(*) AS n, ANY_VALUE(p) AS p
+      FROM documents d JOIN tgt USING (source) GROUP BY d.source),
+    t AS (SELECT MIN(n * 1000 // p) AS tt FROM cnt),
+    q AS (SELECT source, (tt * p) // 1000 AS k FROM cnt, t),
+    r AS (
+      SELECT d.doc_id, d.source, q.k,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      FROM documents d JOIN q USING (source))
+    SELECT doc_id, source FROM r WHERE rk <= k
+    """,
+)
+def mixture_sample_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (operators/sampling.mixture_sample):
+    exact per-stratum quotas from integer feasibility math, hash-order
+    row election, zero driver collect."""
+    from osm2gtfs_spark.operators.sampling import mixture_sample
+
+    d = tpch.load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_sample(
+        d, "source", {"src0": 500, "src1": 300, "src2": 200}, key_col="doc_id"
+    )
+    return out.select("doc_id", "source")

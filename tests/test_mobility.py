@@ -95,3 +95,39 @@ def test_space_time_match_no_candidate_omits_event(spark):
         "trace_id long, obs_seq long, lat double, lon double, ts timestamp",
     )
     assert space_time_match(events, pts, res=5, window_ms=1_800_000).count() == 0
+
+
+def test_mixture_sample_exact_quotas(spark):
+    from osm2gtfs_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "web" if i < 60 else ("code" if i < 80 else "books"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # web 60, code 20, books 20; targets 50/30/20 → T capped by code:
+    # 20*1000//300 = 66 → quotas web 33, code 19, books 13
+    out = mixture_sample(df, "source", {"web": 500, "code": 300, "books": 200},
+                         key_col="doc_id")
+    got = {s: n for s, n in out.groupBy("source").count().collect()}
+    assert got == {"web": 33, "code": 19, "books": 13}
+    # determinism: same subset on re-run after a repartition
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(13), "source",
+            {"web": 500, "code": 300, "books": 200}, key_col="doc_id"
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_mixture_sample_validates_targets(spark):
+    import pytest as _pytest
+
+    from osm2gtfs_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {}, key_col="doc_id")
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "source", {"a": 800, "b": 800}, key_col="doc_id")
