@@ -166,3 +166,62 @@ def space_time_match(
         F.col("_b.sq").alias("obs_seq"),
         F.col("_b.dt").alias("dt_ms"),
     )
+
+
+def route_overlap_jaccard(
+    segments: DataFrame,
+    res: int,
+    route_col: str = "route_id",
+    max_cells: int = 256,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(route_a, route_b, n_shared, jaccard_permille): corridor overlap
+    between every pair of routes that share at least ``min_shared``
+    grid cells — the network-redundancy analysis ("which routes
+    duplicate each other?") planners run over an emitted GTFS network.
+
+    A route's footprint is the distinct set of bbox-cover cells of its
+    segments (complete, closed-form — no sampling); overlap is a
+    self-equi-join on cell id with the same banded-bucket shape as
+    MinHash-LSH candidate pairing (operators/dedup.py): pairs only ever
+    form inside one cell's route list, so the shuffle is keyed by cell
+    and bounded by the densest cell's route count, never a cross join.
+    Jaccard is all-integer: 1000·|∩| div (|A|+|B|−|∩|)."""
+    from osm2gtfs_spark.operators.spatial import _segment_cells
+
+    named = segments.select(
+        F.col(route_col),
+        F.col("lat1").alias("_slat1"),
+        F.col("lon1").alias("_slon1"),
+        F.col("lat2").alias("_slat2"),
+        F.col("lon2").alias("_slon2"),
+    )
+    cov = (
+        _segment_cells(named, route_col, res, max_cells, "_s")
+        .select(route_col, "_cell")
+        .distinct()
+    )
+    sizes = cov.groupBy(route_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = cov.select(F.col(route_col).alias("route_a"), "_cell")
+    b = cov.select(F.col(route_col).alias("route_b"), "_cell")
+    inter = (
+        a.join(b, "_cell")
+        .filter(F.col("route_a") < F.col("route_b"))
+        .groupBy("route_a", "route_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    na = sizes.select(F.col(route_col).alias("route_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(route_col).alias("route_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "route_a")
+        .join(nb, "route_b")
+        .select(
+            "route_a",
+            "route_b",
+            "n_shared",
+            F.expr("(n_shared * 1000) div (_na + _nb - n_shared)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )

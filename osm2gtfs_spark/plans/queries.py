@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "route_overlap_jaccard",
     "mixture_sample_corpus",
     "od_matrix_flows",
     "headway_profile",
@@ -4352,3 +4353,46 @@ def mixture_sample_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "source", {"src0": 500, "src1": 300, "src2": 200}, key_col="doc_id"
     )
     return out.select("doc_id", "source")
+
+
+@register(
+    "route_overlap_jaccard",
+    f"""
+    -- corridor overlap between route pairs: distinct bbox-cover cells
+    -- per route at res 7, pair-join on cell, integer Jaccard
+    WITH seg AS ({_SEG_A_SQL}),
+    rts AS (SELECT a_id % 30 AS route_id, lat1, lon1, lat2, lon2 FROM seg),
+    bounds AS (
+      SELECT route_id,
+             LEAST(LEAST(CAST(FLOOR((lon1 + 180.0) / 360.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lon2 + 180.0) / 360.0 * 128.0) AS BIGINT), 127)) AS lox, GREATEST(LEAST(CAST(FLOOR((lon1 + 180.0) / 360.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lon2 + 180.0) / 360.0 * 128.0) AS BIGINT), 127)) AS hix,
+             LEAST(LEAST(CAST(FLOOR((lat1 + 90.0) / 180.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lat2 + 90.0) / 180.0 * 128.0) AS BIGINT), 127)) AS loy, GREATEST(LEAST(CAST(FLOOR((lat1 + 90.0) / 180.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lat2 + 90.0) / 180.0 * 128.0) AS BIGINT), 127)) AS hiy
+      FROM rts),
+    cov AS (
+      SELECT DISTINCT route_id, ux.i * 67108864 + uy.j AS cell
+      FROM bounds,
+           UNNEST(range(lox, hix + 1)) AS ux(i),
+           UNNEST(range(loy, hiy + 1)) AS uy(j)),
+    sizes AS (SELECT route_id, COUNT(*) AS n FROM cov GROUP BY route_id),
+    inter AS (
+      SELECT a.route_id AS route_a, b.route_id AS route_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM cov a JOIN cov b ON a.cell = b.cell AND a.route_id < b.route_id
+      GROUP BY a.route_id, b.route_id)
+    SELECT route_a, route_b, n_shared,
+           (n_shared * 1000) // (sa.n + sb.n - n_shared) AS jaccard_permille
+    FROM inter
+    JOIN sizes sa ON sa.route_id = route_a
+    JOIN sizes sb ON sb.route_id = route_b
+    """,
+)
+def route_overlap_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route corridor overlap (operators/mobility.route_overlap_jaccard):
+    cell-banded pair formation (the LSH candidate shape), integer
+    Jaccard over complete bbox covers."""
+    from osm2gtfs_spark.operators.mobility import route_overlap_jaccard
+
+    a, _ = _synth_segments(spark, sf_dir)
+    routes = a.select(
+        (F.col("a_id") % 30).alias("route_id"), "lat1", "lon1", "lat2", "lon2"
+    )
+    return route_overlap_jaccard(routes, res=7)

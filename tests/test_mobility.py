@@ -131,3 +131,34 @@ def test_mixture_sample_validates_targets(spark):
         mixture_sample(df, "source", {}, key_col="doc_id")
     with _pytest.raises(ValueError):
         mixture_sample(df, "source", {"a": 800, "b": 800}, key_col="doc_id")
+
+
+def test_route_overlap_jaccard_known_overlap(spark):
+    from osm2gtfs_spark.operators.mobility import route_overlap_jaccard
+
+    # route 1: two segments spanning cells x=[0..2] at one row;
+    # route 2: one segment over x=[1..3] same row → share 2 cells
+    # at res=6 (cell 5.625 deg) rows chosen well inside cells
+    segs = spark.createDataFrame(
+        [
+            (1, 2.0, 2.0, 2.0, 8.0),     # cells x 32..33 (lon 2→8)
+            (1, 2.0, 8.0, 2.0, 14.0),    # cells x 33..34
+            (2, 2.0, 8.0, 2.0, 20.0),    # cells x 33..35
+        ],
+        "route_id long, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    out = route_overlap_jaccard(segs, res=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    # route 1 cells {32,33,34}, route 2 {33,34,35} → inter 2, union 4
+    assert (r.route_a, r.route_b, r.n_shared, r.jaccard_permille) == (1, 2, 2, 500)
+
+
+def test_route_overlap_disjoint_routes_absent(spark):
+    from osm2gtfs_spark.operators.mobility import route_overlap_jaccard
+
+    segs = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0.0, 1.0), (2, 50.0, 50.0, 50.0, 51.0)],
+        "route_id long, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    assert route_overlap_jaccard(segs, res=6).count() == 0

@@ -42,12 +42,24 @@ GUARDED = {
     "media_decode_meta_real": 1,
     "sessionize_batch": 0,
     "rolling_event_stats": 0,
+    # round-5 continuation: span family + geometric joins + mobility
+    "span_offset_repair": 0,
+    "media_asset_dedup": 0,
+    "pack_interleaved_chunks": 0,
+    "segment_intersection_join": 0,
+    "corridor_match_routes": 0,
+    "idw_grid_interpolation": 0,
+    "space_time_match_events": 0,
+    "route_overlap_jaccard": 0,
+    "mixture_sample_corpus": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:
 # a global 1-row aggregate's final step merges ONE partial-agg row per
 # partition — bounded metadata, not a data-carrying single reducer
-ALLOW_SINGLE_PARTITION = {"corpus_stats_artifact"}
+# mixture_sample_corpus: the global feasibility min is a window over
+# the per-stratum counts table (|strata| rows) — same bounded shape
+ALLOW_SINGLE_PARTITION = {"corpus_stats_artifact", "mixture_sample_corpus"}
 
 
 @pytest.mark.parametrize("name", sorted(GUARDED))

@@ -69,6 +69,8 @@ AUDIT = [
     "od_matrix_flows",
     "headway_profile",
     "space_time_match_events",
+    "mixture_sample_corpus",
+    "route_overlap_jaccard",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
