@@ -1757,3 +1757,33 @@ def idw_grid(
     return agg.filter(F.col("_wsum") > 0).select(
         grid_key, "n_obs", F.expr("_wv div _wsum").alias("pred")
     )
+
+
+def focal_sum(
+    cell_counts: DataFrame,
+    res: int,
+    k_ring: int = 1,
+    cell_col: str = "cell_id",
+    value_col: str = "n",
+) -> DataFrame:
+    """(cell_id, n_self, focal_sum): for every occupied cell, the sum of
+    a value over its Chebyshev ``k_ring`` neighborhood — the focal
+    (moving-window) raster statistic that smooths a tile-coverage or
+    density surface before hotspot detection.
+
+    SCATTER shape, not gather: each occupied cell explodes its ring
+    once and contributes its value to each neighbor position, then one
+    map-side-combined sum per target cell; an inner join back to the
+    occupied set keeps the support identical to the input raster.
+    Cost is 9·|occupied| rows (k=1) regardless of grid size — empty
+    cells are never materialized. Integer in, integer out."""
+    contrib = cell_counts.select(
+        F.explode(cell_ring(F.col(cell_col), res, k_ring)).alias(cell_col),
+        F.col(value_col).alias("_v"),
+    )
+    sums = contrib.groupBy(cell_col).agg(F.sum("_v").alias("focal_sum"))
+    return (
+        cell_counts.select(cell_col, F.col(value_col).alias("n_self"))
+        .join(sums, cell_col)
+        .select(cell_col, "n_self", "focal_sum")
+    )

@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "focal_cell_smoothing",
     "route_overlap_jaccard",
     "mixture_sample_corpus",
     "od_matrix_flows",
@@ -4396,3 +4397,38 @@ def route_overlap_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a_id") % 30).alias("route_id"), "lat1", "lon1", "lat2", "lon2"
     )
     return route_overlap_jaccard(routes, res=7)
+
+
+@register(
+    "focal_cell_smoothing",
+    """
+    -- focal (moving-window) raster statistic: per occupied cell at res
+    -- 6, the ring-1 neighborhood sum of point counts (cyclic in x)
+    WITH pts AS (
+      SELECT (((c_custkey) * 7919) % 170000) / 1000.0 + (-85.0) AS lat, (((c_custkey) * 104729) % 340000) / 1000.0 + (-170.0) AS lon FROM customer),
+    c AS (
+      SELECT (CAST(6 AS BIGINT) * 4503599627370496 + LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 63) * 67108864 + LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 64.0) AS BIGINT), 63)) AS cell_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1),
+    d AS (
+      SELECT cell_id, n,
+             (cell_id - 6 * 4503599627370496) // 67108864 AS ix,
+             (cell_id - 6 * 4503599627370496) % 67108864  AS iy
+      FROM c)
+    SELECT a.cell_id, a.n AS n_self, CAST(SUM(b.n) AS BIGINT) AS focal_sum
+    FROM d a JOIN d b
+      ON LEAST(ABS(a.ix - b.ix), 64 - ABS(a.ix - b.ix)) <= 1
+     AND ABS(a.iy - b.iy) <= 1
+    GROUP BY a.cell_id, a.n
+    """,
+)
+def focal_cell_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal raster smoothing (operators/spatial.focal_sum): scatter-
+    to-neighbors + map-side-combined sum — 9·|occupied| rows, empty
+    cells never materialized."""
+    from osm2gtfs_spark.operators.spatial import focal_sum
+
+    stops = tpch.stops(spark, sf_dir)
+    counts = stops.groupBy(
+        cell_id("lat", "lon", 6).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return focal_sum(counts, res=6, k_ring=1)

@@ -83,3 +83,19 @@ def test_idw_out_of_ring_excluded(spark):
     obs = _obs(spark, [(10.0, 50.0, 40)])
     grid = _grid(spark, [(1, 10.0, 10.0)])
     assert idw_grid(obs, grid, res=6, k_ring=1).count() == 0
+
+
+def test_focal_sum_neighborhood(spark):
+    from osm2gtfs_spark.functions.geo import cell_id as _cid
+    from osm2gtfs_spark.operators.spatial import focal_sum
+    from pyspark.sql import functions as F
+
+    # three occupied cells in a row (same iy), counts 1, 10, 100; plus a
+    # far cell with 1000 — middle cell's focal = 111, ends see two each
+    pts = spark.createDataFrame(
+        [(2.0, 2.0, 1), (2.0, 8.0, 10), (2.0, 14.0, 100), (50.0, 120.0, 1000)],
+        "lat double, lon double, n long",
+    )  # res 6 cells are 5.625 deg wide → adjacent columns
+    counts = pts.select(_cid("lat", "lon", 6).alias("cell_id"), "n")
+    cells = {r.n_self: r.focal_sum for r in focal_sum(counts, res=6).collect()}
+    assert cells == {1: 11, 10: 111, 100: 110, 1000: 1000}

@@ -52,6 +52,7 @@ GUARDED = {
     "space_time_match_events": 0,
     "route_overlap_jaccard": 0,
     "mixture_sample_corpus": 0,
+    "focal_cell_smoothing": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

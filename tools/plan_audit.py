@@ -71,6 +71,7 @@ AUDIT = [
     "space_time_match_events",
     "mixture_sample_corpus",
     "route_overlap_jaccard",
+    "focal_cell_smoothing",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
