@@ -145,7 +145,10 @@ def space_time_match(
             event_key, "_e_lat", "_e_lon", "_e_t",
             "trace_id", "obs_seq", "_p_lat", "_p_lon", "_p_t",
         )
-        .distinct()  # ring x bucket overlap can duplicate a pair
+        # a point carries ONE (cell, bucket); the event's ring x bucket
+        # combos are distinct except degenerate grid wrap (tiny res) —
+        # the distinct is cheap insurance for that edge
+        .distinct()
     )
     dx = F.col("_p_lat") - F.col("_e_lat")
     dy = F.col("_p_lon") - F.col("_e_lon")

@@ -150,11 +150,13 @@ def media_asset_table(
     owner (first occurrence: smallest (doc_id, pos)), how many spans
     reference it, and from how many distinct documents.
 
-    One groupBy on the content key with min-struct + counts — all
-    map-side combining, so the shuffle carries one partial row per
-    (partition, key), never the raw reference stream.  A viral image
-    referenced by a billion documents is one hot reducer holding four
-    counters, not a collected list."""
+    One groupBy on the content key with min-struct + counts — the
+    min/count aggregates combine map-side to one partial row per
+    (partition, key); ``n_docs`` is an exact count-distinct, whose
+    expanded first phase partially dedupes (key, doc) pairs map-side
+    before the shuffle.  A viral image referenced by a billion
+    documents is one hot reducer merging bounded partials, never a
+    collected reference list."""
     media = explode_spans(docs, doc_id, spans_col).filter(
         F.col("kind") != TEXT_KIND
     )

@@ -1468,7 +1468,9 @@ def segment_intersections(
 ) -> DataFrame:
     """(a_id, b_id, t_permille, u_permille): every properly-intersecting
     pair between two segment sets, with the intersection's parametric
-    position on each segment in integer permille.
+    position on each segment in integer permille.  Input contract: the
+    FIRST column of each input is that side's id; coordinate columns
+    are (lat1, lon1, lat2, lon2).
 
     Exact arithmetic: endpoints are floored to ``int_scale``-scaled
     integers, the test is pure 64-bit cross-product sign math
