@@ -1506,11 +1506,11 @@ def segment_intersections(
             F.col("lon2").alias(f"_{p}lon2"),
         )
         sides[p] = _segment_cells(named, f"{p}_id", res, max_cells, f"_{p}")
-    cand = (
-        sides["a"].join(sides["b"], "_cell")
-        .drop("_cell")
-        .distinct()
-    )
+    # exact test FIRST, dedupe LAST: the sign test is cheap codegen, so
+    # running it per (pair x shared cell) and deduping only the ACTUAL
+    # crossings (t/u identical across duplicates) shrinks the distinct's
+    # shuffle from every candidate to the result set itself
+    cand = sides["a"].join(sides["b"], "_cell").drop("_cell")
     s = float(int_scale)
     px, py = F.floor(F.col("_alon1") * s), F.floor(F.col("_alat1") * s)
     rx = F.floor(F.col("_alon2") * s) - px
@@ -1539,6 +1539,7 @@ def segment_intersections(
             F.expr("(_tn * 1000) div _den").alias("t_permille"),
             F.expr("(_un * 1000) div _den").alias("u_permille"),
         )
+        .distinct()
     )
 
 
