@@ -1790,3 +1790,29 @@ def focal_sum(
         .join(sums, cell_col)
         .select(cell_col, "n_self", "focal_sum")
     )
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 4,
+    value_col: str = "value",
+    polygon_key: str = "polygon_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(polygon_id, n_points, sum_v, min_v, max_v): per-zone aggregates
+    of an integer point field — the zonal-statistics raster/vector op
+    ("average ridership per district") over a polygon TABLE.
+
+    Composition: :func:`polygon_table_join` (cell-bucketed containment,
+    never a nested loop) followed by one map-side-combined aggregate —
+    the zone total never materializes its member rows anywhere except
+    the containment join the caller already pays for."""
+    joined = polygon_table_join(points, polygons, res, lat_col, lon_col)
+    return joined.groupBy(polygon_key).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )

@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "zonal_stats_polygons",
     "focal_cell_smoothing",
     "route_overlap_jaccard",
     "mixture_sample_corpus",
@@ -4432,3 +4433,60 @@ def focal_cell_smoothing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_id("lat", "lon", 6).alias("cell_id")
     ).agg(F.count(F.lit(1)).alias("n"))
     return focal_sum(counts, res=6, k_ring=1)
+
+
+@register(
+    "zonal_stats_polygons",
+    f"""
+    -- zonal statistics: per-district aggregates of an integer point
+    -- field over the same 25-diamond polygon table as
+    -- polygon_table_join; value = stop_key % 1000
+    WITH s AS ({tpch.STOPS_SQL}),
+     p AS (SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+                  ((n_nationkey * 31) % 120) - 60 + 0.5 AS lat0,
+                  ((n_nationkey * 47) % 300) - 150 + 0.5 AS lon0,
+                  (n_nationkey % 5) + 3.0 AS dy,
+                  (n_nationkey % 7) + 4.0 AS dx
+           FROM nation),
+     v AS (SELECT polygon_id,
+                  lat0 - dy AS alat, lon0 AS alon,
+                  lat0 AS blat, lon0 + dx AS blon,
+                  lat0 + dy AS clat, lon0 AS clon,
+                  lat0 AS elat, lon0 - dx AS elon
+           FROM p),
+     hit AS (
+       SELECT v.polygon_id, s.stop_key % 1000 AS val
+       FROM s JOIN v ON
+            ((blon - alon) * (s.lat - alat) - (blat - alat) * (s.lon - alon) >= 0)
+        AND ((clon - blon) * (s.lat - blat) - (clat - blat) * (s.lon - blon) >= 0)
+        AND ((elon - clon) * (s.lat - clat) - (elat - clat) * (s.lon - clon) >= 0)
+        AND ((alon - elon) * (s.lat - elat) - (alat - elat) * (s.lon - elon) >= 0))
+    SELECT polygon_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(val) AS BIGINT) AS sum_v,
+           MIN(val) AS min_v, MAX(val) AS max_v
+    FROM hit GROUP BY polygon_id
+    """,
+)
+def zonal_stats_polygons_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/spatial.zonal_stats): cell-bucketed
+    containment join + one combine-friendly aggregate per zone."""
+    from osm2gtfs_spark.operators.spatial import zonal_stats
+
+    n = tpch.load(spark, sf_dir, "nation")
+    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
+    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
+    dy = (F.col("n_nationkey") % 5) + 3.0
+    dx = (F.col("n_nationkey") % 7) + 4.0
+    polygons = n.select(
+        F.col("n_nationkey").cast("long").alias("polygon_id"),
+        F.array(
+            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
+            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
+        ).alias("vertices"),
+    )
+    pts = tpch.stops(spark, sf_dir).select(
+        "stop_key", "lat", "lon", (F.col("stop_key") % 1000).alias("value")
+    )
+    return zonal_stats(pts, polygons, res=4)

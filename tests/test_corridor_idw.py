@@ -99,3 +99,23 @@ def test_focal_sum_neighborhood(spark):
     counts = pts.select(_cid("lat", "lon", 6).alias("cell_id"), "n")
     cells = {r.n_self: r.focal_sum for r in focal_sum(counts, res=6).collect()}
     assert cells == {1: 11, 10: 111, 100: 110, 1000: 1000}
+
+
+def test_zonal_stats_known_zone(spark):
+    from pyspark.sql import functions as F
+    from osm2gtfs_spark.operators.spatial import zonal_stats
+
+    # one diamond around (0,0), radius 2; three points inside with
+    # values 5, 7, 11; one outside
+    polys = spark.createDataFrame(
+        [(1, [(-2.0, 0.0), (0.0, 2.0), (2.0, 0.0), (0.0, -2.0)])],
+        "polygon_id long, vertices array<struct<lat double, lon double>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0, 5), (2, 0.5, 0.5, 7), (3, -0.5, 0.5, 11), (4, 3.0, 3.0, 99)],
+        "stop_key long, lat double, lon double, value long",
+    )
+    out = zonal_stats(pts, polys, res=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.polygon_id, r.n_points, r.sum_v, r.min_v, r.max_v) == (1, 3, 23, 5, 11)

@@ -53,6 +53,7 @@ GUARDED = {
     "route_overlap_jaccard": 0,
     "mixture_sample_corpus": 0,
     "focal_cell_smoothing": 0,
+    "zonal_stats_polygons": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

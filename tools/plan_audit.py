@@ -72,6 +72,7 @@ AUDIT = [
     "mixture_sample_corpus",
     "route_overlap_jaccard",
     "focal_cell_smoothing",
+    "zonal_stats_polygons",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
