@@ -1453,9 +1453,17 @@ def _segment_cells(
             ),
         )
     )
-    return seg.select(
+    # materialize the cover array in its own Project BEFORE exploding:
+    # GenerateExec re-evaluates an inline generator child per OUTPUT
+    # row, turning the O(cells) construction into O(cells^2) per
+    # segment (the same pitfall fixed for minhash shingles in r4)
+    with_cells = seg.select(
         id_col, f"{p}lat1", f"{p}lon1", f"{p}lat2", f"{p}lon2",
-        F.explode(cells).alias("_cell"),
+        cells.alias("_cells"),
+    )
+    return with_cells.select(
+        id_col, f"{p}lat1", f"{p}lon1", f"{p}lat2", f"{p}lon2",
+        F.explode("_cells").alias("_cell"),
     )
 
 

@@ -159,3 +159,79 @@ def test_pack_interleaved_bucket_isolation(spark):
     for r in out:
         assert r.chunk_id == 0 and r.chunk_tok_start == 0
         assert r.bucket == r.doc_id % 2
+
+
+import random
+
+
+def _random_corpus(seed, n_docs=12):
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gm", "d", "epsilon xi", ""]
+    rows = []
+    for d in range(n_docs):
+        spans = []
+        for i in range(rng.randint(0, 7)):
+            if rng.random() < 0.3:
+                spans.append(("image", "", f"m://{rng.randint(0, 5)}", i))
+            else:
+                txt = " ".join(rng.choice(words) for _ in range(rng.randint(0, 4)))
+                spans.append(("text", txt, "", i))
+        rows.append((d, spans))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 99, 4242])
+def test_pack_interleaved_conservation_property(spark, seed):
+    """Packing conserves every span's token mass, splits contiguously,
+    and fills every non-final chunk of each bucket exactly to budget —
+    for arbitrary corpora, not just the hand-built cases."""
+    rows = _random_corpus(seed)
+    docs = _docs(spark, rows)
+    budget, media = 7, 3
+    out = SP.pack_interleaved(docs, budget=budget, media_tokens=media, n_buckets=3).collect()
+
+    def cost(kind, text):
+        if kind != "text":
+            return media
+        if not text:
+            return 0
+        return len(text) - len(text.replace(" ", "")) + 1
+
+    expected = {
+        (d, i): cost(k, t)
+        for d, spans in rows
+        for i, (k, t, _, _) in enumerate(spans)
+        if cost(k, t) > 0
+    }
+    got = {}
+    for r in out:
+        got.setdefault((r.doc_id, r.pos), []).append(r)
+    assert set(got) == set(expected)
+    for key, segs in got.items():
+        segs.sort(key=lambda r: r.span_tok_start)
+        assert segs[0].span_tok_start == 0
+        assert segs[-1].span_tok_end == expected[key]
+        for a, b in zip(segs, segs[1:]):
+            assert a.span_tok_end == b.span_tok_start
+    fill = {}
+    for r in out:
+        fill[(r.bucket, r.chunk_id)] = fill.get((r.bucket, r.chunk_id), 0) + (
+            r.span_tok_end - r.span_tok_start
+        )
+    for (bucket, chunk), n in fill.items():
+        last = max(c for b, c in fill if b == bucket)
+        assert n == budget or chunk == last
+
+
+@pytest.mark.parametrize("seed", [11, 303])
+def test_repair_offsets_matches_python_model(spark, seed):
+    rows = _random_corpus(seed)
+    out = SP.repair_offsets(_docs(spark, rows), media_cost=4)
+    got = {
+        (r.doc_id, r.pos): r.offset for r in SP.explode_spans(out).collect()
+    }
+    for d, spans in rows:
+        acc = 0
+        for i, (k, t, _, _) in enumerate(spans):
+            assert got[(d, i)] == acc
+            acc += len(t) if k == "text" else 4

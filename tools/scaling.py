@@ -108,6 +108,54 @@ def workload(spark, sf_dir: str, doc_mult: int, pt_mult: int) -> dict[str, float
     out["tiles_sec"] = time.time() - t0
     rows += n_tiles
 
+    # 4) OPTIONAL (SPARK_SCALING_GEO=1): exact segment-intersection join.
+    # Kept OUT of the headline N→4N workload so the metric definition
+    # stays comparable round-over-round. Measured separately (see
+    # PLANS.md): warmed, cached inputs, disjoint replica boxes — this
+    # stage plateaus at ~2.1x from 2→8 cores and ~1.9x from 8→32 ON
+    # THIS BOX, with the broadcast-probe variant beating sort-merge by
+    # 2x at 8 cores. The plan is a cell-keyed equi join + result-side
+    # distinct (no cross join, no single partition); the wall tracks
+    # the box's memory-bandwidth ceiling for streaming a shared
+    # broadcast table, not a serial stage — on a real cluster 4N
+    # executors add 4x bandwidth. Reported honestly rather than
+    # averaged into the headline metric.
+    if not os.environ.get("SPARK_SCALING_GEO"):
+        out["rows"] = rows
+        return out
+    from osm2gtfs_spark.operators.spatial import segment_intersections
+    from osm2gtfs_spark.plans.queries import _synth_segments
+
+    seg_mult = max(2, pt_mult)
+    a0, b0 = _synth_segments(spark, sf_dir)
+
+    def smult(df, idc):
+        lat_off = (F.expr("rep div 10") * 30.0) - 15.0
+        lon_off = ((F.col("rep") % 10) * 34.0) - 153.0
+        return (
+            df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(seg_mult - 1))))
+            .select(
+                (F.col(idc) * seg_mult + F.col("rep")).alias(idc),
+                (F.col("lat1") + lat_off).alias("lat1"),
+                (F.col("lon1") + lon_off).alias("lon1"),
+                (F.col("lat2") + lat_off).alias("lat2"),
+                (F.col("lon2") + lon_off).alias("lon2"),
+            )
+            .repartition(n_part)
+        )
+
+    # same methodology as the dedup stage: inputs cached and counted
+    # BEFORE the clock, so the timed region is the join itself, not the
+    # synthesis explode
+    a_m = smult(a0, "a_id").cache()
+    b_m = smult(b0, "b_id").cache()
+    a_m.count(), b_m.count()
+    t0 = time.time()
+    n_cross = segment_intersections(a_m, b_m, res=7).count()
+    out["geojoin_sec"] = time.time() - t0
+    rows += n_cross
+    a_m.unpersist(), b_m.unpersist()
+
     # NOTE on the GTFS pipeline: it is deliberately NOT part of this
     # N→4N workload. Measured (warmed) at 20k synthetic lines / 1.35M
     # output rows the pipeline takes ~19-21 s at local[2], local[8] AND
@@ -129,7 +177,7 @@ def child(cpus: str) -> None:
 
     spark = build_session(f"scaling-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
-    workload(spark, SF_DIR, 2, 2)  # warm-up: JIT + codegen, excluded
+    workload(spark, SF_DIR, 2, 4)  # warm-up: JIT + codegen, excluded
     t0 = time.time()
     m = workload(spark, SF_DIR, DOC_MULT, PT_MULT)
     total = time.time() - t0
@@ -162,7 +210,8 @@ def parent() -> None:
         print(line)
     report: dict = {
         "workload": f"minhash_fast+lsh+jaccard (docs x{DOC_MULT}, token-salted), "
-        f"knn ring join (pts x{PT_MULT}), tile coverage",
+        f"knn ring join (pts x{PT_MULT}), tile coverage"
+        + (", segment-intersection join" if os.environ.get("SPARK_SCALING_GEO") else ""),
         "sf_dir": SF_DIR,
         "note": (
             "single host; threads beyond ~16 are SMT siblings sharing memory "
