@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "route_network_components",
     "zonal_stats_polygons",
     "focal_cell_smoothing",
     "route_overlap_jaccard",
@@ -4490,3 +4491,63 @@ def zonal_stats_polygons_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stop_key", "lat", "lon", (F.col("stop_key") % 1000).alias("value")
     )
     return zonal_stats(pts, polygons, res=4)
+
+
+@register(
+    "route_network_components",
+    f"""
+    -- connected components over the route-overlap graph (edges =
+    -- corridor Jaccard >= 600 permille): component = min route id
+    -- reachable — "which routes form one redundant corridor family"
+    WITH RECURSIVE seg AS ({_SEG_A_SQL}),
+    rts AS (SELECT a_id % 30 AS route_id, lat1, lon1, lat2, lon2 FROM seg),
+    bounds AS (
+      SELECT route_id,
+             LEAST(LEAST(CAST(FLOOR((lon1 + 180.0) / 360.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lon2 + 180.0) / 360.0 * 128.0) AS BIGINT), 127)) AS lox, GREATEST(LEAST(CAST(FLOOR((lon1 + 180.0) / 360.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lon2 + 180.0) / 360.0 * 128.0) AS BIGINT), 127)) AS hix,
+             LEAST(LEAST(CAST(FLOOR((lat1 + 90.0) / 180.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lat2 + 90.0) / 180.0 * 128.0) AS BIGINT), 127)) AS loy, GREATEST(LEAST(CAST(FLOOR((lat1 + 90.0) / 180.0 * 128.0) AS BIGINT), 127), LEAST(CAST(FLOOR((lat2 + 90.0) / 180.0 * 128.0) AS BIGINT), 127)) AS hiy
+      FROM rts),
+    cov AS (
+      SELECT DISTINCT route_id, ux.i * 67108864 + uy.j AS cell
+      FROM bounds,
+           UNNEST(range(lox, hix + 1)) AS ux(i),
+           UNNEST(range(loy, hiy + 1)) AS uy(j)),
+    sizes AS (SELECT route_id, COUNT(*) AS n FROM cov GROUP BY route_id),
+    inter AS (
+      SELECT a.route_id AS ra, b.route_id AS rb, COUNT(*) AS ns
+      FROM cov a JOIN cov b ON a.cell = b.cell AND a.route_id < b.route_id
+      GROUP BY a.route_id, b.route_id),
+    edge0 AS (
+      SELECT ra, rb FROM inter
+      JOIN sizes sa ON sa.route_id = ra JOIN sizes sb ON sb.route_id = rb
+      WHERE (ns * 1000) // (sa.n + sb.n - ns) >= 600),
+    e AS (SELECT ra AS src, rb AS dst FROM edge0
+          UNION ALL SELECT rb, ra FROM edge0),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    )
+    SELECT src AS route_id, LEAST(src, MIN(dst)) AS component_id
+    FROM reach GROUP BY src
+    """,
+)
+def route_network_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor families (route_overlap_jaccard edges →
+    dedup.connected_components): the network-level grouping a planner
+    reads off the overlap analysis — min-label propagation with pointer
+    jumping, O(log diameter) rounds; the oracle is a recursive CTE over
+    the identical edge set."""
+    from osm2gtfs_spark.operators.mobility import route_overlap_jaccard
+
+    a, _ = _synth_segments(spark, sf_dir)
+    routes = a.select(
+        (F.col("a_id") % 30).alias("route_id"), "lat1", "lon1", "lat2", "lon2"
+    )
+    edges = (
+        route_overlap_jaccard(routes, res=7)
+        .filter(F.col("jaccard_permille") >= 600)
+        .select(F.col("route_a").alias("doc_a"), F.col("route_b").alias("doc_b"))
+    )
+    return DD.connected_components(edges).select(
+        F.col("doc_id").alias("route_id"), "component_id"
+    )
