@@ -241,3 +241,47 @@ def url_host_filter(
         s = suf.lower().lstrip(".")
         keep = keep & ~host.endswith("." + s) & (host != s)
     return docs.filter(keep)
+
+
+def bigram_fluency(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score_bits, n_bigrams, avg_millibits): a statistical
+    language-model fluency proxy — each document scored by how
+    corpus-frequent its token bigrams are.
+
+    The quality-scoring family's LM member without a model file: train
+    = one bigram-count aggregate over the corpus; score = Σ per-bigram
+    ⌊log₂ c⌋+1 (the bit length of the count — an EXACT integer stand-in
+    for log-frequency, so the cross-engine oracle is bit-for-bit where
+    a float ln() would drift at ulp level). Boilerplate-heavy docs made
+    of corpus-common bigrams score high per bigram; OCR noise and
+    shuffled text score low — the same signal as a perplexity filter,
+    monotone-transformed.
+
+    Scale shape: explode to (doc, bigram) pairs, one map-side-combined
+    count per bigram, one equi join back (AQE broadcasts the bigram
+    vocabulary when it fits), one per-doc sum — no windows, no Python.
+    A stopword-pair's count row is one hot counter, not a posting
+    list."""
+    toks = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    )
+    bg = docs.select(F.col(doc_id), bigrams.alias("_bgs")).select(
+        doc_id, F.explode("_bgs").alias("bg")
+    )
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
+    scored = bg.join(cnt, "bg").groupBy(doc_id).agg(
+        F.sum(F.length(F.bin(F.col("_c")))).alias("score_bits"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    return scored.select(
+        doc_id,
+        F.col("score_bits").cast("long").alias("score_bits"),
+        "n_bigrams",
+        F.expr("(score_bits * 1000) div n_bigrams").alias("avg_millibits"),
+    )

@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "bigram_fluency_score",
     "route_network_components",
     "zonal_stats_polygons",
     "focal_cell_smoothing",
@@ -4551,3 +4552,33 @@ def route_network_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(edges).select(
         F.col("doc_id").alias("route_id"), "component_id"
     )
+
+
+@register(
+    "bigram_fluency_score",
+    """
+    -- statistical-LM fluency proxy: per-doc sum of bit lengths of
+    -- corpus bigram counts (exact integer log2 stand-in)
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    bgl AS (
+      SELECT doc_id,
+             toks[CAST(u.i AS INTEGER)] || ' ' || toks[CAST(u.i + 1 AS INTEGER)] AS bg
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+    cnt AS (SELECT bg, COUNT(*) AS c FROM bgl GROUP BY bg),
+    sc AS (
+      SELECT b.doc_id, CAST(SUM(length(bin(c.c))) AS BIGINT) AS score_bits,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM bgl b JOIN cnt c USING (bg) GROUP BY b.doc_id)
+    SELECT doc_id, score_bits, n_bigrams,
+           (score_bits * 1000) // n_bigrams AS avg_millibits
+    FROM sc
+    """,
+)
+def bigram_fluency_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency (operators/text.bigram_fluency): the quality
+    family's perplexity-proxy member — bit-length-of-count as the
+    exact-integer log-frequency dialect."""
+    d = tpch.load(spark, sf_dir, "documents")
+    return TXT.bigram_fluency(d)

@@ -54,6 +54,7 @@ GUARDED = {
     "mixture_sample_corpus": 0,
     "focal_cell_smoothing": 0,
     "zonal_stats_polygons": 0,
+    "bigram_fluency_score": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

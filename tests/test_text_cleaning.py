@@ -118,3 +118,22 @@ def test_pii_scrub_staged_counts(spark):
     assert "<EMAIL>" in got[1].text_clean and "<IP>" not in got[1].text_clean
     assert (got[2].n_emails, got[2].n_ips) == (1, 1)
     assert (got[3].n_emails, got[3].n_ips) == (0, 0)
+
+
+def test_bigram_fluency_known_counts(spark):
+    from osm2gtfs_spark.operators.text import bigram_fluency
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),      # bigrams: "a b" x2, "b a" x1
+            (2, "a b"),          # "a b" x1  → corpus "a b" count 3
+            (3, "zz"),           # no bigram → absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_fluency(docs).collect()}
+    assert set(out) == {1, 2}
+    # corpus counts: "a b" -> 3 (bits 2), "b a" -> 1 (bits 1)
+    assert out[1].score_bits == 2 + 1 + 2 and out[1].n_bigrams == 3
+    assert out[2].score_bits == 2 and out[2].n_bigrams == 1
+    assert out[1].avg_millibits == (5 * 1000) // 3

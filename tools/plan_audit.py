@@ -73,6 +73,7 @@ AUDIT = [
     "route_overlap_jaccard",
     "focal_cell_smoothing",
     "zonal_stats_polygons",
+    "bigram_fluency_score",
     # raster_region_extract excluded: plan construction executes the CC
     # rounds and the emitted plan covers only the post-CC tail
 ]
