@@ -1428,7 +1428,12 @@ def _segment_cells(
     bboxes, hence inside a shared cell), unlike sampled rasterization
     which can corner-cut. Fanout is (w+1)(h+1); a segment whose cover
     exceeds ``max_cells`` fails the job loudly (res too fine for the
-    segment lengths) instead of silently exploding a task."""
+    segment lengths) instead of silently exploding a task.
+
+    Limitation: the cover is the ix/iy RECTANGLE between endpoints, so
+    a segment crossing the antimeridian covers the long way around;
+    split such segments at ±180 first (the corpora here never cross
+    it)."""
     p = prefix
     ix1, ix2 = cell_ix(f"{p}lon1", res), cell_ix(f"{p}lon2", res)
     iy1, iy2 = cell_iy(f"{p}lat1", res), cell_iy(f"{p}lat2", res)
