@@ -1568,6 +1568,8 @@ def dwell_detect(
     of ≥ ``min_run`` consecutive observations whose step distance stays
     ≤ ``step_thr`` degrees — the stopped/dwelling episodes of a vehicle
     trace (depot holds, terminal layovers, traffic standstill).
+    Observations must carry unique ``seq_col`` values per trace (the
+    window order key).
 
     A dwell of k points covers k−1 small steps, so a run of n small
     steps yields n+1 points and the threshold is on STEPS: runs with
