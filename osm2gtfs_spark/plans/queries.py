@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "tile_pipeline_composed",
     "bigram_fluency_score",
     "route_network_components",
     "zonal_stats_polygons",
@@ -4582,3 +4583,63 @@ def bigram_fluency_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer log-frequency dialect."""
     d = tpch.load(spark, sf_dir, "documents")
     return TXT.bigram_fluency(d)
+
+
+@register(
+    "tile_pipeline_composed",
+    f"""
+    -- the GEO end-to-end composition (the spatial twin of
+    -- corpus_prep_packed): points -> res-5 cell counts -> focal ring
+    -- smoothing -> hot-cell extraction (focal >= 16) -> 4-neighbor
+    -- region labeling + boundary -- coverage-map vectorization in one
+    -- chained oracle.
+    WITH RECURSIVE
+    s AS ({tpch.STOPS_SQL}),
+    c AS (SELECT LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 32.0) AS BIGINT), 31) AS ix, LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 32.0) AS BIGINT), 31) AS iy, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s GROUP BY 1, 2),
+    f AS (SELECT a.ix, a.iy, a.n,
+                 CAST(SUM(b.n) AS BIGINT) AS fs
+          FROM c a JOIN c b
+            ON LEAST(ABS(a.ix - b.ix), 32 - ABS(a.ix - b.ix)) <= 1
+           AND ABS(a.iy - b.iy) <= 1
+          GROUP BY a.ix, a.iy, a.n),
+    hot AS (SELECT ix, iy, n, fs,
+                   CAST(5 AS BIGINT) * {2**52} + ix * {2**26} + iy AS cell_id
+            FROM f WHERE fs >= 16),
+    e AS (SELECT a.cell_id AS src, b.cell_id AS dst
+          FROM hot a JOIN hot b
+            ON (b.iy = a.iy AND (b.ix = (a.ix + 1) % 32 OR b.ix = (a.ix + 31) % 32))
+            OR (b.ix = a.ix AND (b.iy = a.iy + 1 OR b.iy = a.iy - 1))),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+    comp AS (SELECT src AS cell_id, LEAST(src, MIN(dst)) AS region_id
+             FROM reach GROUP BY src),
+    deg AS (SELECT src AS cell_id, COUNT(*) AS d FROM e GROUP BY src)
+    SELECT h.cell_id, h.n AS n_self, h.fs AS focal_sum,
+           COALESCE(comp.region_id, h.cell_id) AS region_id,
+           COALESCE(deg.d, 0) < 4 AS is_boundary
+    FROM hot h LEFT JOIN comp USING (cell_id) LEFT JOIN deg USING (cell_id)
+    """,
+)
+def tile_pipeline_composed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiling pipeline end-to-end (north star: 'raster<->vector
+    tile assignment for schedule coverage maps'): cell encode ->
+    focal smoothing (operators/spatial.focal_sum) -> hot-cell
+    extraction -> region labeling + boundary (raster_regions) — every
+    stage individually gate-certified, composed here against ONE
+    chained oracle, the same discipline as corpus_prep_packed on the
+    text side."""
+    from osm2gtfs_spark.functions.geo import cell_id as _cid
+    from osm2gtfs_spark.operators.spatial import focal_sum, raster_regions
+
+    s = tpch.stops(spark, sf_dir)
+    counts = s.groupBy(_cid("lat", "lon", 5).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hot = focal_sum(counts, res=5, k_ring=1).filter(F.col("focal_sum") >= 16)
+    regions = raster_regions(hot.select("cell_id"), res=5)
+    return hot.join(regions, "cell_id").select(
+        "cell_id", "n_self", "focal_sum", "region_id", "is_boundary"
+    )
