@@ -71,6 +71,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 continuation (newest first — driver-certified nowhere yet)
+    "hot_cells_stream",
     "tile_pipeline_composed",
     "bigram_fluency_score",
     "route_network_components",
@@ -4642,4 +4643,45 @@ def tile_pipeline_composed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = raster_regions(hot.select("cell_id"), res=5)
     return hot.join(regions, "cell_id").select(
         "cell_id", "n_self", "focal_sum", "region_id", "is_boundary"
+    )
+
+
+@register(
+    "hot_cells_stream",
+    f"""
+    -- STREAMING hotspot alerts: (6h window, res-3 cell) coverage rows
+    -- reaching 6 points, emitted once when the watermark finalizes the
+    -- window; a bounded drain equals the batch HAVING truth
+    WITH p AS (SELECT ts,
+                      (user_id % 180) - 90 + value / 1000.0 AS lat,
+                      (event_id % 360) - 180 + value / 1000.0 AS lon
+               FROM events)
+    SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT) AS ws_epoch,
+           (CAST(3 AS BIGINT) * 4503599627370496 + LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 8.0) AS BIGINT), 7) * 67108864 + LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 8.0) AS BIGINT), 7)) AS cell_id,
+           COUNT(*) AS n_points
+    FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 6
+    """,
+)
+def hot_cells_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hotspot detection in the gate (streaming/events
+    .hot_cells_stream): the alert filter rides the finalized windowed
+    aggregate — exactly-once alerts, driver-certified against the
+    batch HAVING oracle."""
+    import tempfile
+
+    from osm2gtfs_spark.streaming import events as SE
+
+    pts = SE.stream_events(spark, sf_dir).select(
+        "ts",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    out = SE.hot_cells_stream(
+        pts, res=3, min_points=6, window="6 hours", watermark="2 hours"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        SE.run_available_now(out, "gate_hot_cells", td)
+    return spark.sql(
+        "SELECT CAST(window_start AS LONG) AS ws_epoch, cell_id, n_points "
+        "FROM gate_hot_cells"
     )

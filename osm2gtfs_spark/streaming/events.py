@@ -274,3 +274,26 @@ def sessionize_batch(
         )
         .drop("_sid")
     )
+
+
+def hot_cells_stream(
+    points: DataFrame,
+    res: int,
+    min_points: int,
+    window: str = "6 hours",
+    watermark: str = "2 hours",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Streaming hotspot detection: the (window, cell) coverage rows
+    whose count reaches ``min_points`` — the alerting tail of the
+    coverage map ("this tile just went dense") at ingest time.
+
+    The filter sits ON TOP of the watermarked windowed aggregate, so in
+    append mode an alert is emitted exactly once, when the watermark
+    finalizes its window — no flapping partial counts; a bounded drain
+    equals the batch GROUP BY ... HAVING truth, which is exactly what
+    the gate asserts. State stays the coverage aggregate's (windows in
+    flight × occupied cells); the filter adds none."""
+    cov = tile_coverage_stream(points, res, window, watermark, lat_col, lon_col)
+    return cov.filter(F.col("n_points") >= min_points)

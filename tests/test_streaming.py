@@ -278,3 +278,38 @@ def test_sessionize_batch_matches_streaming_closed_sessions(spark, sf_dir, tmp_p
             n_expired_finals += 1
     assert streamed == want and len(want) > 0
     assert n_expired_finals > 0, "fixture must exercise the timeout path"
+
+
+def test_hot_cells_stream_equals_batch_having(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from osm2gtfs_spark.functions.geo import cell_id
+    from osm2gtfs_spark.streaming import events as SE
+
+    pts_stream = SE.stream_events(spark, sf_dir).select(
+        "ts",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    out = SE.hot_cells_stream(pts_stream, res=3, min_points=3, window="12 hours")
+    with tempfile.TemporaryDirectory() as td:
+        SE.run_available_now(out, "t_hot_cells", td)
+    got = {
+        (r.window_start, r.cell_id): r.n_points
+        for r in spark.table("t_hot_cells").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "ts",
+            ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+            ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+        )
+        .groupBy(F.window("ts", "12 hours").alias("w"), cell_id("lat", "lon", 3).alias("c"))
+        .count()
+        .filter(F.col("count") >= 3)
+    )
+    want = {(r.w.start, r.c): r["count"] for r in batch.collect()}
+    assert got == want and len(got) > 0
