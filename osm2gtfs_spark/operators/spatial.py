@@ -1893,3 +1893,187 @@ def split_antimeridian(
         F.col("_p.lon2").alias("lon2"),
         F.col("_p.piece").alias("piece"),
     )
+
+
+def gi_star(
+    cell_values: DataFrame,
+    res: int,
+    k_ring: int = 1,
+    cell_col: str = "cell_id",
+    value_col: str = "n",
+) -> DataFrame:
+    """Getis–Ord Gi* hotspot z-scores over a cell raster:
+    (cell_id, n_self, s_ring, w_ring, gi_z) for every occupied cell.
+
+    The classic local-autocorrelation statistic a coverage analyst runs
+    after :func:`tile_coverage`/:func:`focal_sum`: ``gi_z`` ≫ 0 marks a
+    cell whose Chebyshev ``k_ring`` neighborhood carries significantly
+    more weight than the global mean predicts (dense-stop hotspots),
+    ``gi_z`` ≪ 0 a cold spot. Support is the OCCUPIED cells (the raster
+    the caller aggregated); mean/variance are over that support, which
+    is the standard formulation for sparse rasters.
+
+    Plan shape: one scatter-to-ring + map-side-combined sum for the
+    neighborhood terms (9·|occupied| rows at k=1 — same shape as
+    :func:`focal_sum`), then the global first/second moments attach via
+    an unpartitioned window over the PER-CELL aggregate table. That
+    SinglePartition step carries at most 4^res cell rows — grid-bounded
+    metadata, never data rows (the same bounded-shape argument as
+    ``global_index``'s bucket counts); at res ≤ 10 that is ≤ 1M tiny
+    rows regardless of corpus size.
+
+    Numeric dialect: the moments are exact BIGINT sums (values are
+    integer counts); the z-score is derived from them in double
+    arithmetic whose expression tree is mirrored token-for-token in the
+    oracle SQL — IEEE mul/div/sqrt are bit-identical across engines.
+    A zero denominator (constant raster) yields z = 0 explicitly: Spark
+    returns NULL for x/0 where DuckDB returns inf, so the guard is a
+    CASE branch on both sides.
+    """
+    v = F.col(value_col)
+    contrib = cell_values.select(
+        F.explode(cell_ring(F.col(cell_col), res, k_ring)).alias(cell_col),
+        v.alias("_v"),
+    )
+    ring = contrib.groupBy(cell_col).agg(
+        F.sum("_v").alias("s_ring"), F.count(F.lit(1)).alias("w_ring")
+    )
+    cells = (
+        cell_values.select(cell_col, v.alias("n_self"))
+        .join(ring, cell_col)
+        .select(cell_col, "n_self", "s_ring", "w_ring")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stats = (
+        cells.withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn("_s1", F.sum("n_self").over(w_all))
+        .withColumn("_s2", F.sum(F.col("n_self") * F.col("n_self")).over(w_all))
+    )
+    nd = F.col("_n").cast("double")
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    sid = F.col("s_ring").cast("double")
+    wid = F.col("w_ring").cast("double")
+    mean = s1d / nd
+    varp = s2d / nd - mean * mean
+    num = sid - mean * wid
+    den = F.sqrt(varp * (nd * wid - wid * wid) / (nd - F.lit(1.0)))
+    z = F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(num / den)
+    return stats.select(
+        cell_col, "n_self", "s_ring", "w_ring", z.alias("gi_z")
+    )
+
+
+def grid_dbscan(
+    points: DataFrame,
+    res: int,
+    min_pts: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Density-based spatial clustering on the cell grid:
+    (cell_id, n, cluster_id) for every CORE cell (count ≥ ``min_pts``),
+    where ``cluster_id`` is the min cell id reachable through ring-1
+    adjacency between core cells — the grid-bucketed DBSCAN variant
+    (GriDBSCAN / cell-based DBSCAN in the literature): density test per
+    cell instead of per point, adjacency instead of ε-range queries.
+
+    Exactly the clustering a transit planner wants over stop density
+    ("which contiguous dense areas form one urban core"), and the scale
+    path for DBSCAN at 10^12 points: the expensive ε-neighborhood scan
+    collapses into one groupBy (map-side combined) + a ring join whose
+    fanout is ≤ 9 ids per core cell, and the transitive closure runs on
+    the CELL graph (bounded by 4^res vertices), never on points.
+
+    Plan shape: count-per-cell aggregate → density filter → scatter
+    ring ⋈ core (equi join on cell id, no distance predicate survives
+    to the join) → :func:`~osm2gtfs_spark.operators.dedup.
+    connected_components` min-label propagation (O(log diameter)
+    rounds, lineage-truncated). Isolated core cells keep their own id
+    as ``cluster_id``. Non-core cells are noise and are not emitted,
+    matching DBSCAN's noise semantics at cell granularity.
+
+    NOTE: executes eagerly (the component loop runs actions), so keep
+    it out of lazy plan-guard sets, like the other component queries.
+    """
+    from osm2gtfs_spark.operators.dedup import connected_components
+
+    core = (
+        points.groupBy(cell_id(lat_col, lon_col, res).alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(min_pts))
+    )
+    nbr = core.select(
+        F.col("cell_id").alias("_src"),
+        F.explode(cell_ring(F.col("cell_id"), res, 1)).alias("_dst"),
+    ).filter(F.col("_src") < F.col("_dst"))
+    edges = nbr.join(
+        core.select(F.col("cell_id").alias("_dst")), "_dst"
+    ).select(F.col("_src").alias("doc_a"), F.col("_dst").alias("doc_b"))
+    comps = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    return (
+        core.join(comps, core.cell_id == comps.doc_id, "left")
+        .select(
+            "cell_id",
+            "n",
+            F.coalesce(F.col("component_id"), F.col("cell_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+
+
+def cell_pyramid(
+    cell_counts: DataFrame,
+    res_fine: int,
+    res_coarse: int = 0,
+    cell_col: str = "cell_id",
+    value_col: str = "n",
+) -> DataFrame:
+    """Multi-resolution tile pyramid in ONE pass: (res, cell_id, n) for
+    every level ``res_coarse`` ≤ r ≤ ``res_fine`` — the zoom-level
+    rollup a tile server materializes so every map zoom reads
+    pre-aggregated counts.
+
+    Scale shape: the input is the FINEST-level aggregate (points were
+    already combined once), and each fine cell explodes its ancestor
+    ladder — (res_fine − res_coarse + 1) rows per OCCUPIED CELL, not
+    per point — then one map-side-combined sum keyed by (level, cell).
+    At 10^12 points and res 12, that is ≤ 17M ladder rows from ≤ 1.6M
+    occupied cells, vs 13 full passes for the per-level naive plan.
+    The ladder levels come from one literal array (constant-folded);
+    the parent re-encode is pure integer arithmetic (`div` by a
+    per-level power of two), all inside whole-stage codegen.
+    """
+    from osm2gtfs_spark.functions.geo import _IX_SHIFT, _RES_SHIFT
+
+    c = F.col(cell_col) - F.lit(res_fine) * F.lit(_RES_SHIFT)
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("long").alias("lvl"),
+                F.lit(2 ** (res_fine - r)).cast("long").alias("shift"),
+            )
+            for r in range(res_coarse, res_fine + 1)
+        ]
+    )
+    exploded = cell_counts.select(
+        F.col(value_col).alias("_v"),
+        F.floor(c / F.lit(_IX_SHIFT)).cast("long").alias("_ix"),
+        (c % F.lit(_IX_SHIFT)).cast("long").alias("_iy"),
+        F.explode(ladder).alias("_l"),
+    )
+    parent = (
+        F.col("_l.lvl") * F.lit(_RES_SHIFT)
+        + F.expr("_ix div _l.shift") * F.lit(_IX_SHIFT)
+        + F.expr("_iy div _l.shift")
+    )
+    return (
+        exploded.groupBy(
+            F.col("_l.lvl").alias("res"), parent.alias(cell_col)
+        )
+        .agg(F.sum("_v").alias(value_col))
+    )

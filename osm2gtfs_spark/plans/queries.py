@@ -70,7 +70,11 @@ def register(name: str, sql: str | None = None):
 # pytest coverage and 4 rounds of green driver records (r1–r4 artifacts
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
-    # round 5 continuation (newest first — driver-certified nowhere yet)
+    # round 5 third session (newest first — driver-certified nowhere yet)
+    "gi_star_hotspots",
+    "grid_dbscan_clusters",
+    "tile_pyramid",
+    # round 5 continuation (driver-certified nowhere yet)
     "hot_cells_stream",
     "tile_pipeline_composed",
     "bigram_fluency_score",
@@ -4685,3 +4689,139 @@ def hot_cells_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(window_start AS LONG) AS ws_epoch, cell_id, n_points "
         "FROM gate_hot_cells"
     )
+
+
+_GI_RING_SQL = f"""
+    c AS (
+      SELECT {cell_id_sql('lat', 'lon', 6)} AS cell_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY 1),
+    d AS (
+      SELECT cell_id, n,
+             (cell_id - 6 * 4503599627370496) // 67108864 AS ix,
+             (cell_id - 6 * 4503599627370496) % 67108864  AS iy
+      FROM c)
+"""
+
+
+@register(
+    "gi_star_hotspots",
+    f"""
+    -- Getis-Ord Gi* hotspot z-scores over the res-6 stop-count raster:
+    -- ring-1 neighborhood sums vs global moments of the occupied cells
+    WITH s AS ({tpch.STOPS_SQL}),
+    {_GI_RING_SQL},
+    r AS (
+      SELECT a.cell_id, a.n AS n_self,
+             CAST(SUM(b.n) AS BIGINT) AS s_ring,
+             CAST(COUNT(*) AS BIGINT) AS w_ring
+      FROM d a JOIN d b
+        ON LEAST(ABS(a.ix - b.ix), 64 - ABS(a.ix - b.ix)) <= 1
+       AND ABS(a.iy - b.iy) <= 1
+      GROUP BY a.cell_id, a.n),
+    g AS (
+      SELECT cell_id, n_self, s_ring, w_ring,
+             CAST(CAST(COUNT(*) OVER () AS BIGINT) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(n_self) OVER () AS BIGINT) AS DOUBLE) AS s1d,
+             CAST(CAST(SUM(n_self * n_self) OVER () AS BIGINT) AS DOUBLE) AS s2d
+      FROM r)
+    SELECT cell_id, n_self, s_ring, w_ring,
+           CASE WHEN SQRT((s2d / nd - (s1d / nd) * (s1d / nd))
+                          * (nd * CAST(w_ring AS DOUBLE)
+                             - CAST(w_ring AS DOUBLE) * CAST(w_ring AS DOUBLE))
+                          / (nd - 1.0)) = 0.0
+                THEN 0.0
+                ELSE (CAST(s_ring AS DOUBLE) - (s1d / nd) * CAST(w_ring AS DOUBLE))
+                     / SQRT((s2d / nd - (s1d / nd) * (s1d / nd))
+                            * (nd * CAST(w_ring AS DOUBLE)
+                               - CAST(w_ring AS DOUBLE) * CAST(w_ring AS DOUBLE))
+                            / (nd - 1.0))
+           END AS gi_z
+    FROM g
+    """,
+)
+def gi_star_hotspots_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gi* hotspot statistic (operators/spatial.gi_star): scatter-ring
+    neighborhood moments + grid-bounded global-moment window; the
+    z-score's double expression tree is mirrored token-for-token in
+    the oracle (IEEE mul/div/sqrt are bit-identical)."""
+    from osm2gtfs_spark.operators.spatial import gi_star
+
+    stops = tpch.stops(spark, sf_dir)
+    counts = stops.groupBy(cell_id("lat", "lon", 6).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return gi_star(counts, res=6, k_ring=1)
+
+
+@register(
+    "grid_dbscan_clusters",
+    f"""
+    -- grid-bucketed DBSCAN: core cells (>= 2 stops) linked through
+    -- ring-1 adjacency; cluster id = min reachable core cell id
+    WITH RECURSIVE s AS ({tpch.STOPS_SQL}),
+    {_GI_RING_SQL},
+    core AS (SELECT * FROM d WHERE n >= 2),
+    e0 AS (
+      SELECT a.cell_id AS src, b.cell_id AS dst
+      FROM core a JOIN core b
+        ON LEAST(ABS(a.ix - b.ix), 64 - ABS(a.ix - b.ix)) <= 1
+       AND ABS(a.iy - b.iy) <= 1
+       AND a.cell_id <> b.cell_id),
+    reach AS (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT r.src, e0.dst FROM reach r JOIN e0 ON r.dst = e0.src
+    ),
+    comp AS (
+      SELECT src AS cell_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src)
+    SELECT core.cell_id, core.n,
+           COALESCE(comp.cluster_id, core.cell_id) AS cluster_id
+    FROM core LEFT JOIN comp ON core.cell_id = comp.cell_id
+    """,
+)
+def grid_dbscan_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-grid DBSCAN (operators/spatial.grid_dbscan): density filter
+    per cell, ring-adjacency edges, min-label connected components —
+    the 10^12-point DBSCAN plan (closure on the bounded cell graph,
+    never on points). Executes eagerly (component rounds)."""
+    from osm2gtfs_spark.operators.spatial import grid_dbscan
+
+    stops = tpch.stops(spark, sf_dir)
+    return grid_dbscan(stops, res=6, min_pts=2)
+
+
+_PYRAMID_LADDER_SQL = ", ".join(
+    f"(CAST({r} AS BIGINT), CAST({2 ** (6 - r)} AS BIGINT))" for r in range(0, 7)
+)
+
+
+@register(
+    "tile_pyramid",
+    f"""
+    -- multi-resolution tile pyramid: per-level rollups 0..6 derived
+    -- from the res-6 aggregate via the ancestor ladder (one pass)
+    WITH s AS ({tpch.STOPS_SQL}),
+    {_GI_RING_SQL},
+    lv(lvl, shift) AS (VALUES {_PYRAMID_LADDER_SQL})
+    SELECT lv.lvl AS res,
+           lv.lvl * 4503599627370496
+             + (d.ix // lv.shift) * 67108864
+             + (d.iy // lv.shift) AS cell_id,
+           CAST(SUM(d.n) AS BIGINT) AS n
+    FROM d, lv
+    GROUP BY 1, 2
+    """,
+)
+def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-level pyramid (operators/spatial.cell_pyramid): ancestor
+    ladder exploded from the finest-level aggregate — rows scale with
+    occupied cells x levels, not points x levels."""
+    from osm2gtfs_spark.operators.spatial import cell_pyramid
+
+    stops = tpch.stops(spark, sf_dir)
+    counts = stops.groupBy(cell_id("lat", "lon", 6).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cell_pyramid(counts, res_fine=6, res_coarse=0)

@@ -55,6 +55,10 @@ GUARDED = {
     "focal_cell_smoothing": 0,
     "zonal_stats_polygons": 0,
     "bigram_fluency_score": 0,
+    # round-5 third session (grid_dbscan_clusters is NOT guarded: its
+    # component rounds execute eagerly at construction)
+    "gi_star_hotspots": 0,
+    "tile_pyramid": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:
@@ -62,7 +66,13 @@ GUARDED = {
 # partition — bounded metadata, not a data-carrying single reducer
 # mixture_sample_corpus: the global feasibility min is a window over
 # the per-stratum counts table (|strata| rows) — same bounded shape
-ALLOW_SINGLE_PARTITION = {"corpus_stats_artifact", "mixture_sample_corpus"}
+ALLOW_SINGLE_PARTITION = {
+    "corpus_stats_artifact",
+    "mixture_sample_corpus",
+    # gi_star: the global-moment window runs over the PER-CELL aggregate
+    # table (≤ 4^res rows — grid-bounded metadata, never data rows)
+    "gi_star_hotspots",
+}
 
 
 @pytest.mark.parametrize("name", sorted(GUARDED))
