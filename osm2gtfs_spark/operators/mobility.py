@@ -228,3 +228,76 @@ def route_overlap_jaccard(
             ),
         )
     )
+
+
+def reach_min_cost(
+    edges: DataFrame,
+    sources: DataFrame,
+    hops: int,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """Bounded-hop minimum-cost reachability (Bellman–Ford unrolled):
+    (node, min_cost, hops) for every node reachable from ``sources``
+    in at most ``hops`` edges, where ``min_cost`` is the cheapest
+    cumulative integer edge cost and ``hops`` the hop count of that
+    cheapest path (ties break to fewer hops).
+
+    The transit question behind it: "which stops are reachable within
+    k transfers, and how cheap" — the reference answers per-stop
+    serially while walking relation members; here the whole frontier
+    advances per round. ``edges`` is directed: pass both directions
+    for an undirected network.
+
+    Plan shape: ``hops`` is a small compile-time constant, so the
+    whole computation is ONE lazy Catalyst plan — per round one equi
+    join (frontier ⋈ edges on the node key) followed by one
+    map-side-combined min per node (the DP recurrence
+    ``dp_h(v) = min_u(dp_{h-1}(u) + w(u, v))`` — correct because every
+    h-hop path's prefix is an (h−1)-hop path), then one union of the
+    per-round tables and a final min(struct). No iteration driver-side,
+    no lineage growth beyond ``hops`` stages, shuffle volume per round
+    bounded by |frontier| · avg-degree. For unbounded closures use
+    :func:`~osm2gtfs_spark.operators.dedup.connected_components`-style
+    convergence loops instead; bounded k is the right shape when the
+    product (k transfers) is itself bounded.
+    """
+    if not 1 <= hops <= 8:
+        raise ValueError(f"hops must be in [1, 8], got {hops}")
+    rounds = [
+        sources.select(
+            F.col(node_col).alias("_n"),
+            F.lit(0).cast("long").alias("_c"),
+            F.lit(0).cast("long").alias("_h"),
+        )
+    ]
+    for h in range(1, hops + 1):
+        e = edges.select(
+            F.col(src_col).alias("_es"),
+            F.col(dst_col).alias("_ed"),
+            F.col(cost_col).cast("long").alias("_ec"),
+        )
+        prev = rounds[-1].select("_n", "_c")
+        rounds.append(
+            prev.join(e, prev["_n"] == e["_es"])
+            .select(
+                F.col("_ed").alias("_n"),
+                (F.col("_c") + F.col("_ec")).alias("_c"),
+            )
+            .groupBy("_n")
+            .agg(F.min("_c").alias("_c"))
+            .withColumn("_h", F.lit(h).cast("long"))
+        )
+    allr = rounds[0]
+    for r in rounds[1:]:
+        allr = allr.unionByName(r)
+    best = allr.groupBy("_n").agg(
+        F.min(F.struct(F.col("_c").alias("c"), F.col("_h").alias("h"))).alias("_b")
+    )
+    return best.select(
+        F.col("_n").alias(node_col),
+        F.col("_b.c").alias("min_cost"),
+        F.col("_b.h").alias("hops"),
+    )

@@ -2077,3 +2077,85 @@ def cell_pyramid(
         )
         .agg(F.sum("_v").alias(value_col))
     )
+
+
+def grid_voronoi(
+    cell_counts: DataFrame,
+    seed_cells: DataFrame,
+    res: int,
+    k_max: int = 2,
+    cell_col: str = "cell_id",
+    value_col: str = "n",
+    seed_col: str = "seed_cell",
+) -> DataFrame:
+    """Nearest-facility allocation on the cell grid (grid Voronoi /
+    catchment assignment): every occupied cell within Chebyshev grid
+    distance ``k_max`` of some seed gets
+    (cell_id, n, seed_cell, grid_dist) for its NEAREST seed — ties
+    break to the smallest seed id, so the labeling is deterministic.
+
+    This is the coverage question behind the reference's stop_area
+    assignment (every stop claims its closest station,
+    ``osm2gtfs/core/osm_connector.py:258-283`` walks candidates
+    serially): run after :func:`tile_coverage` it answers "which depot
+    serves each dense cell" without any point-level distance work.
+
+    Plan shape: each seed scatters a (2k+1)^2 disk of
+    (cell, distance) structs — the disk array is materialized in its
+    OWN Project before exploding (GenerateExec re-evaluates an inline
+    generator child per output row; same pitfall fixed for
+    ``_segment_cells``) — then one map-side-combined min(struct) per
+    cell and one equi join against the occupied-cell table. Shuffle
+    volume is |seeds|·(2k+1)^2 + |occupied|, never |points| and never
+    a distance cross join. Longitude wraps at the antimeridian
+    (pmod), latitude rows outside the grid are dropped — identical
+    conventions to :func:`~osm2gtfs_spark.functions.geo.cell_ring`.
+    """
+    from osm2gtfs_spark.functions.geo import _IX_SHIFT, _RES_SHIFT
+
+    if not 0 <= k_max <= 6:
+        raise ValueError(f"k_max must be in [0, 6], got {k_max}")
+    n = 2**res
+    c = F.col(seed_col) - F.lit(res) * F.lit(_RES_SHIFT)
+    six = F.floor(c / F.lit(_IX_SHIFT)).cast("long")
+    siy = (c % F.lit(_IX_SHIFT)).cast("long")
+    entries = []
+    for dx in range(-k_max, k_max + 1):
+        for dy in range(-k_max, k_max + 1):
+            ny = siy + F.lit(dy)
+            cell = (
+                F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+                + F.pmod(six + F.lit(dx), F.lit(n)) * F.lit(_IX_SHIFT)
+                + ny
+            )
+            entries.append(
+                F.when(
+                    (ny >= 0) & (ny < n),
+                    F.struct(
+                        F.lit(max(abs(dx), abs(dy))).cast("long").alias("d"),
+                        cell.alias("c"),
+                    ),
+                )
+            )
+    disk = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    scattered = (
+        seed_cells.select(F.col(seed_col).alias("_seed"), disk.alias("_disk"))
+        .select("_seed", F.explode("_disk").alias("_e"))
+        .select(
+            F.col("_e.c").alias(cell_col),
+            F.col("_e.d").alias("_d"),
+            F.col("_seed").alias("_s"),
+        )
+    )
+    alloc = scattered.groupBy(cell_col).agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("_s").alias("s"))).alias("_b")
+    )
+    return (
+        cell_counts.join(alloc, cell_col)
+        .select(
+            cell_col,
+            value_col,
+            F.col("_b.s").alias(seed_col),
+            F.col("_b.d").alias("grid_dist"),
+        )
+    )

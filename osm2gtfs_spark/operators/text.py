@@ -285,3 +285,55 @@ def bigram_fluency(
         "n_bigrams",
         F.expr("(score_bits * 1000) div n_bigrams").alias("avg_millibits"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking with overlap — the RAG / context-
+    window prep step: (doc_id, chunk_idx, start_tok, n_tok, chunk_text)
+    with chunks of ``window`` whitespace tokens starting every
+    ``stride`` tokens. A doc with n ≤ window tokens yields exactly one
+    chunk; otherwise 1 + ceil((n − window) / stride) chunks, so the
+    tail is always covered and the last chunk may be short.
+
+    Complements :func:`~osm2gtfs_spark.operators.corpus_index.
+    pack_sequences` (which packs disjoint pieces to a budget): chunking
+    OVERLAPS on purpose so retrieval windows never cut an answer span.
+
+    Plan shape: pure codegen — tokenize once, explode a per-doc index
+    sequence (fanout = chunk count, rows scale with corpus tokens /
+    stride, not with corpus × window), slice the token array per
+    chunk. No shuffle at all: the operator is embarrassingly
+    row-parallel and keeps the input partitioning.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    w, s = F.lit(window).cast("long"), F.lit(stride).cast("long")
+    n_chunks = F.when(n <= w, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.floor((n - w + s - F.lit(1)) / s)
+    )
+    base = docs.select(
+        F.col(doc_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - F.lit(1))).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * s
+    return base.select(
+        doc_col,
+        "chunk_idx",
+        start.alias("start_tok"),
+        F.least(w, F.col("_n") - start).alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("_toks"), (start + F.lit(1)).cast("int"), window), " "
+        ).alias("chunk_text"),
+    )

@@ -71,6 +71,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "grid_voronoi_alloc",
+    "network_reach_cost",
+    "chunk_text_overlap",
     "gi_star_hotspots",
     "grid_dbscan_clusters",
     "tile_pyramid",
@@ -4825,3 +4828,150 @@ def tile_pyramid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return cell_pyramid(counts, res_fine=6, res_coarse=0)
+
+
+@register(
+    "grid_voronoi_alloc",
+    f"""
+    -- nearest-facility allocation (grid Voronoi): every occupied
+    -- res-6 stop cell claims its nearest station cell within
+    -- Chebyshev grid distance 2; ties break to the smaller seed id
+    WITH s AS ({tpch.STOPS_SQL}),
+    {_GI_RING_SQL},
+    st AS ({tpch.STATIONS_SQL}),
+    sc AS (SELECT DISTINCT {cell_id_sql('lat', 'lon', 6)} AS cell_id FROM st),
+    se AS (
+      SELECT cell_id,
+             (cell_id - 6 * 4503599627370496) // 67108864 AS ix,
+             (cell_id - 6 * 4503599627370496) % 67108864  AS iy
+      FROM sc),
+    cand AS (
+      SELECT d.cell_id, d.n, se.cell_id AS seed_cell,
+             GREATEST(LEAST(ABS(d.ix - se.ix), 64 - ABS(d.ix - se.ix)),
+                      ABS(d.iy - se.iy)) AS grid_dist
+      FROM d, se),
+    rk AS (
+      SELECT cell_id, n, seed_cell, grid_dist,
+             ROW_NUMBER() OVER (PARTITION BY cell_id
+                                ORDER BY grid_dist ASC, seed_cell ASC) AS rn
+      FROM cand WHERE grid_dist <= 2)
+    SELECT cell_id, n, seed_cell, CAST(grid_dist AS BIGINT) AS grid_dist
+    FROM rk WHERE rn = 1
+    """,
+)
+def grid_voronoi_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid Voronoi catchments (operators/spatial.grid_voronoi):
+    seed-disk scatter + min-struct argmin + one equi join — shuffle is
+    |seeds|·25 + |occupied cells|, never a distance cross join (the
+    oracle replays the brute-force cross join at gate scale)."""
+    from osm2gtfs_spark.operators.spatial import grid_voronoi
+
+    stops = tpch.stops(spark, sf_dir)
+    counts = stops.groupBy(cell_id("lat", "lon", 6).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    seeds = (
+        tpch.stations(spark, sf_dir)
+        .select(cell_id("lat", "lon", 6).alias("seed_cell"))
+        .distinct()
+    )
+    return grid_voronoi(counts, seeds, res=6, k_max=2)
+
+
+@register(
+    "network_reach_cost",
+    f"""
+    -- bounded-hop min-cost reachability over the station proximity
+    -- network (edges = station pairs within 12deg, cost = floor of
+    -- squared-degree distance x 1e6), sources = station_key % 7 = 1,
+    -- <= 3 hops; min cost per node, ties to fewer hops
+    WITH RECURSIVE st AS ({tpch.STATIONS_SQL}),
+    p AS (
+      SELECT a.station_key AS ka, b.station_key AS kb,
+             CAST(FLOOR(((a.lat - b.lat) * (a.lat - b.lat)
+                         + (a.lon - b.lon) * (a.lon - b.lon))
+                        * 1000000.0) AS BIGINT) AS cost
+      FROM st a JOIN st b ON a.station_key < b.station_key
+      WHERE ((a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon)) <= 144.0),
+    e AS (SELECT ka AS src, kb AS dst, cost FROM p
+          UNION ALL
+          SELECT kb AS src, ka AS dst, cost FROM p),
+    src AS (SELECT station_key AS node FROM st WHERE station_key % 7 = 1),
+    reach(node, cost, hop) AS (
+      SELECT node, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM src
+      UNION
+      SELECT e.dst, r.cost + e.cost, r.hop + 1
+      FROM reach r JOIN e ON r.node = e.src
+      WHERE r.hop < 3),
+    rk AS (
+      SELECT node, cost, hop,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cost ASC, hop ASC) AS rn
+      FROM reach)
+    SELECT node, cost AS min_cost, hop AS hops FROM rk WHERE rn = 1
+    """,
+)
+def network_reach_cost_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-transfer reachability (operators/mobility.reach_min_cost):
+    edges from the cell-bucketed proximity self-join (never a cross
+    join — the oracle replays the brute pair enumeration), then three
+    unrolled Bellman-Ford rounds in one lazy plan."""
+    from osm2gtfs_spark.operators.mobility import reach_min_cost
+    from osm2gtfs_spark.operators.spatial import within_distance_pairs
+
+    st = tpch.stations(spark, sf_dir)
+    pairs = within_distance_pairs(
+        st,
+        res=4,
+        radius_deg=12.0,
+        key_col="station_key",
+        k_ring=2,
+        carry_cols=("lat", "lon"),
+    )
+    dlat = F.col("a_lat") - F.col("b_lat")
+    dlon = F.col("a_lon") - F.col("b_lon")
+    cost = F.floor((dlat * dlat + dlon * dlon) * F.lit(1000000.0)).cast("long")
+    fwd = pairs.select(
+        F.col("key_a").alias("src"), F.col("key_b").alias("dst"), cost.alias("cost")
+    )
+    bwd = pairs.select(
+        F.col("key_b").alias("src"), F.col("key_a").alias("dst"), cost.alias("cost")
+    )
+    edges = fwd.unionByName(bwd)
+    sources = st.filter(F.col("station_key") % 7 == 1).select(
+        F.col("station_key").alias("node")
+    )
+    return reach_min_cost(edges, sources, hops=3)
+
+
+@register(
+    "chunk_text_overlap",
+    """
+    -- sliding-window token chunking with overlap (window 12 stride 6):
+    -- every doc tail covered, last chunk may be short
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+    c AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= 12 THEN CAST(1 AS BIGINT)
+                  ELSE 1 + (n - 12 + 6 - 1) // 6 END AS n_chunks
+      FROM m)
+    SELECT c.doc_id,
+           CAST(r.i AS BIGINT) AS chunk_idx,
+           CAST(r.i * 6 AS BIGINT) AS start_tok,
+           CAST(LEAST(12, c.n - r.i * 6) AS BIGINT) AS n_tok,
+           array_to_string(
+             c.toks[CAST(r.i * 6 + 1 AS BIGINT):CAST(r.i * 6 + 12 AS BIGINT)],
+             ' ') AS chunk_text
+    FROM c, UNNEST(range(0, c.n_chunks)) AS r(i)
+    """,
+)
+def chunk_text_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapped chunking (operators/text.chunk_documents): pure
+    codegen tokenize + per-doc index explode + array slice; zero
+    shuffle, fanout = chunk count (tokens/stride, not tokens x
+    window)."""
+    docs = tpch.load(spark, sf_dir, "documents")
+    return TXT.chunk_documents(docs, window=12, stride=6)

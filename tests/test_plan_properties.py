@@ -59,6 +59,9 @@ GUARDED = {
     # component rounds execute eagerly at construction)
     "gi_star_hotspots": 0,
     "tile_pyramid": 0,
+    "grid_voronoi_alloc": 0,
+    "network_reach_cost": 0,
+    "chunk_text_overlap": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:
