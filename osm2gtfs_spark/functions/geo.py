@@ -323,3 +323,43 @@ def centroid_lat(cx, cy, cz) -> Column:
 def centroid_lon(cx, cy) -> Column:
     cx, cy = _as_col(cx), _as_col(cy)
     return F.degrees(F.atan2(cy, cx))
+
+
+def quadkey(lat, lon, res: int) -> Column:
+    """Tile-pyramid quadkey string of length ``res``: one base-4 digit
+    per zoom level, digit = ix_bit + 2·iy_bit from the most significant
+    bit down (iy counted from the south edge — same grid orientation as
+    :func:`cell_id`, documented rather than Bing's north-down y).
+
+    The property a tile server relies on: the quadkey of the parent
+    cell at res−1 is exactly the first res−1 characters, so prefix
+    range scans enumerate a subtree — the string-keyed twin of
+    :func:`morton_key` for systems (object stores, KV layouts) that
+    key by path. Pure codegen integer math + concat.
+    """
+    if not 1 <= res <= 16:
+        raise ValueError(f"res must be in [1, 16], got {res}")
+    ix = cell_ix(lon, res)
+    iy = cell_iy(lat, res)
+    digits = []
+    for lvl in range(1, res + 1):
+        sh = 2 ** (res - lvl)
+        d = (
+            F.floor(ix / F.lit(sh)).cast("long") % F.lit(2)
+            + (F.floor(iy / F.lit(sh)).cast("long") % F.lit(2)) * F.lit(2)
+        )
+        digits.append(d.cast("string"))
+    return F.concat(*digits)
+
+
+def quadkey_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+    """The identical quadkey as ANSI SQL over a CTE that must provide
+    columns ``ix`` and ``iy`` at ``res`` (compute them once — the digit
+    ladder references each 2·res times)."""
+    digits = []
+    for lvl in range(1, res + 1):
+        sh = 2 ** (res - lvl)
+        digits.append(
+            f"CAST((ix // {sh}) % 2 + ((iy // {sh}) % 2) * 2 AS VARCHAR)"
+        )
+    return "(" + " || ".join(digits) + ")"

@@ -266,6 +266,16 @@ def reach_min_cost(
     """
     if not 1 <= hops <= 8:
         raise ValueError(f"hops must be in [1, 8], got {hops}")
+    # each unrolled round re-references the edge lineage; callers whose
+    # edge table is expensive to derive should persist() it themselves
+    # BEFORE calling (persisting here measured 4x slower at gate scale:
+    # InMemoryRelation hides size stats from AQE, demoting broadcast
+    # joins to sort-merge, and cold-cache block locks serialize)
+    e = edges.select(
+        F.col(src_col).alias("_es"),
+        F.col(dst_col).alias("_ed"),
+        F.col(cost_col).cast("long").alias("_ec"),
+    )
     rounds = [
         sources.select(
             F.col(node_col).alias("_n"),
@@ -274,11 +284,6 @@ def reach_min_cost(
         )
     ]
     for h in range(1, hops + 1):
-        e = edges.select(
-            F.col(src_col).alias("_es"),
-            F.col(dst_col).alias("_ed"),
-            F.col(cost_col).cast("long").alias("_ec"),
-        )
         prev = rounds[-1].select("_n", "_c")
         rounds.append(
             prev.join(e, prev["_n"] == e["_es"])
@@ -301,3 +306,71 @@ def reach_min_cost(
         F.col("_b.c").alias("min_cost"),
         F.col("_b.h").alias("hops"),
     )
+
+
+def pagerank_bounded(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damping_permille: int = 850,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` power iterations unrolled into ONE
+    lazy plan, in EXACT integer arithmetic: (node, rank) where ranks
+    start at ``scale`` and each round applies
+    ``rank'(v) = base + d·Σ_u (rank(u)·w(u,v)) // W(u)`` with
+    ``base = scale·(1000−d‰)//1000`` and every product/division on
+    BIGINTs — so the result is bit-reproducible regardless of
+    aggregation order (float PageRank is not: double sums reorder
+    under shuffle). Flow-weighted importance over an OD matrix is the
+    transit use: "which cells anchor the network".
+
+    Dangling nodes (no out-edges) keep receiving the teleport base and
+    leak their own mass — the standard simplification; add explicit
+    sink edges if conservation matters. Like
+    :func:`reach_min_cost`, the iteration count is a compile-time
+    constant: per round one equi join against the (out-weight-joined)
+    edge table and one map-side-combined sum — no driver loop, no
+    lineage growth beyond ``iters`` stages.
+    """
+    if not 1 <= iters <= 6:
+        raise ValueError(f"iters must be in [1, 6], got {iters}")
+    base = scale * (1000 - damping_permille) // 1000
+    e = edges.select(
+        F.col(src_col).alias("_s"),
+        F.col(dst_col).alias("_d"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    outw = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
+    # every iteration re-references the out-weighted edge and node
+    # lineages; callers with an expensive upstream (a big OD
+    # aggregation) should persist() edges BEFORE calling — persisting
+    # here measured 4x slower at gate scale (InMemoryRelation hides
+    # size stats from AQE, demoting broadcast joins to sort-merge)
+    ew = e.join(outw, "_s")
+    nodes = (
+        e.select(F.col("_s").alias("_n"))
+        .unionByName(e.select(F.col("_d").alias("_n")))
+        .distinct()
+    )
+    rank = nodes.select("_n", F.lit(scale).cast("long").alias("_r"))
+    for _ in range(iters):
+        contrib = (
+            rank.join(ew, rank["_n"] == ew["_s"])
+            .select(
+                F.col("_d").alias("_n"),
+                F.expr("_r * _w div _ow").alias("_c"),
+            )
+            .groupBy("_n")
+            .agg(F.sum("_c").alias("_c"))
+        )
+        rank = nodes.join(contrib, "_n", "left").select(
+            "_n",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_permille} * coalesce(_c, 0L) div 1000")
+            ).cast("long").alias("_r"),
+        )
+    return rank.select(F.col("_n").alias("node"), F.col("_r").alias("rank"))

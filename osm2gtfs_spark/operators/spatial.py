@@ -2159,3 +2159,71 @@ def grid_voronoi(
             F.col("_b.d").alias("grid_dist"),
         )
     )
+
+
+def polygon_rasterize(
+    polygons: DataFrame,
+    res: int,
+    max_cells: int = 4096,
+    polygon_key: str = "polygon_id",
+) -> DataFrame:
+    """Vector → raster: (polygon_id, cell_id) for every res-``res``
+    grid cell whose CENTER lies inside the (convex, counter-clockwise)
+    polygon — the fill primitive behind raster↔vector tile assignment
+    (north rule): burn each service-area polygon onto the tile grid
+    once, then every coverage question is a cell equi join instead of
+    a containment test.
+
+    Plan shape: per polygon one bbox-bounded double sequence explode
+    (ix × iy candidate cells, never the whole grid) followed by the
+    same per-edge cross-product fold as :func:`polygon_table_join` —
+    evaluated against the cell center, so the polygon never leaves its
+    own row and there is NO join at all; output rows scale with
+    Σ bbox-cells. A polygon whose bbox covers more than ``max_cells``
+    cells at ``res`` raises (same contract as the segment-cover cap):
+    rasterize big polygons at a coarser res and refine with
+    :func:`~osm2gtfs_spark.operators.spatial.cell_pyramid`-style
+    drill-down instead of letting one row fan out unbounded.
+    """
+    from osm2gtfs_spark.functions.geo import _IX_SHIFT, _RES_SHIFT
+
+    n = 2**res
+    lat_min = F.array_min(F.transform("vertices", lambda v: v["lat"]))
+    lat_max = F.array_max(F.transform("vertices", lambda v: v["lat"]))
+    lon_min = F.array_min(F.transform("vertices", lambda v: v["lon"]))
+    lon_max = F.array_max(F.transform("vertices", lambda v: v["lon"]))
+    lox, hix = cell_ix(lon_min, res), cell_ix(lon_max, res)
+    loy, hiy = cell_iy(lat_min, res), cell_iy(lat_max, res)
+    n_cand = (hix - lox + 1) * (hiy - loy + 1)
+    guard = F.when(
+        n_cand > F.lit(max_cells),
+        F.raise_error(
+            F.concat(
+                F.lit(f"polygon bbox exceeds max_cells={max_cells} at res={res}: "),
+                n_cand.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    cells = (
+        polygons.withColumn("_g", guard)
+        .withColumn("_ix", F.explode(F.sequence(lox + F.col("_g"), hix)))
+        .withColumn("_iy", F.explode(F.sequence(loy, hiy)))
+    )
+    clat = (F.col("_iy") + F.lit(0.5)) / F.lit(float(n)) * F.lit(180.0) - F.lit(90.0)
+    clon = (F.col("_ix") + F.lit(0.5)) / F.lit(float(n)) * F.lit(360.0) - F.lit(180.0)
+    succ = F.concat(
+        F.slice("vertices", 2, F.size("vertices") - 1), F.slice("vertices", 1, 1)
+    )
+    edges = F.arrays_zip(F.col("vertices").alias("v1"), succ.alias("v2"))
+    inside = F.forall(
+        edges,
+        lambda e: (e["v2"]["lon"] - e["v1"]["lon"]) * (clat - e["v1"]["lat"])
+        - (e["v2"]["lat"] - e["v1"]["lat"]) * (clon - e["v1"]["lon"])
+        >= 0,
+    )
+    cell = (
+        F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+        + F.col("_ix").cast("long") * F.lit(_IX_SHIFT)
+        + F.col("_iy").cast("long")
+    )
+    return cells.filter(inside).select(polygon_key, cell.alias("cell_id"))

@@ -28,6 +28,7 @@ from osm2gtfs_spark.functions.geo import (
     cell_ix,
     cell_iy,
     in_bbox,
+    quadkey_sql,
 )
 from osm2gtfs_spark.operators.spatial import (
     knn_snap,
@@ -71,6 +72,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "polygon_fill_cells",
+    "flow_pagerank",
+    "tile_quadkeys",
     "grid_voronoi_alloc",
     "network_reach_cost",
     "chunk_text_overlap",
@@ -4975,3 +4979,159 @@ def chunk_text_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     window)."""
     docs = tpch.load(spark, sf_dir, "documents")
     return TXT.chunk_documents(docs, window=12, stride=6)
+
+
+@register(
+    "tile_quadkeys",
+    f"""
+    -- quadkey strings for the occupied res-6 stop cells: one base-4
+    -- digit per level, MSB first (prefix = parent tile)
+    WITH s AS ({tpch.STOPS_SQL}),
+    {_GI_RING_SQL}
+    SELECT cell_id, {quadkey_sql('lat', 'lon', 6)} AS qk, n FROM d
+    """,
+)
+def tile_quadkeys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey tile naming (functions/geo.quadkey): string-keyed twin
+    of the Morton id for path-keyed stores; parent tile = string
+    prefix. Pure codegen digit ladder."""
+    from osm2gtfs_spark.functions.geo import quadkey
+
+    stops = tpch.stops(spark, sf_dir)
+    return stops.groupBy(
+        cell_id("lat", "lon", 6).alias("cell_id"),
+        quadkey("lat", "lon", 6).alias("qk"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "polygon_fill_cells",
+    f"""
+    -- vector->raster fill: every res-7 cell whose center lies inside
+    -- each district diamond (same 25-polygon table as zonal stats)
+    WITH p AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+             ((n_nationkey * 31) % 120) - 60 + 0.5 AS lat0,
+             ((n_nationkey * 47) % 300) - 150 + 0.5 AS lon0,
+             (n_nationkey % 5) + 3.0 AS dy,
+             (n_nationkey % 7) + 4.0 AS dx
+      FROM nation),
+    v AS (SELECT polygon_id,
+                 lat0 - dy AS alat, lon0 AS alon,
+                 lat0 AS blat, lon0 + dx AS blon,
+                 lat0 + dy AS clat, lon0 AS clon,
+                 lat0 AS elat, lon0 - dx AS elon
+          FROM p),
+    b AS (SELECT *,
+                 LEAST(CAST(FLOOR((lon0 - dx + 180.0) / 360.0 * 128.0) AS BIGINT), 127) AS lox,
+                 LEAST(CAST(FLOOR((lon0 + dx + 180.0) / 360.0 * 128.0) AS BIGINT), 127) AS hix,
+                 LEAST(CAST(FLOOR((lat0 - dy + 90.0) / 180.0 * 128.0) AS BIGINT), 127) AS loy,
+                 LEAST(CAST(FLOOR((lat0 + dy + 90.0) / 180.0 * 128.0) AS BIGINT), 127) AS hiy
+          FROM v JOIN p USING (polygon_id)),
+    cand AS (
+      SELECT polygon_id, alat, alon, blat, blon, clat, clon, elat, elon,
+             ux.i AS ix, uy.j AS iy,
+             (uy.j + 0.5) / 128.0 * 180.0 - 90.0  AS clat_c,
+             (ux.i + 0.5) / 128.0 * 360.0 - 180.0 AS clon_c
+      FROM b, UNNEST(range(lox, hix + 1)) AS ux(i),
+              UNNEST(range(loy, hiy + 1)) AS uy(j))
+    SELECT polygon_id,
+           CAST(7 AS BIGINT) * 4503599627370496
+             + ix * 67108864 + iy AS cell_id
+    FROM cand
+    WHERE ((blon - alon) * (clat_c - alat) - (blat - alat) * (clon_c - alon) >= 0)
+      AND ((clon - blon) * (clat_c - blat) - (clat - blat) * (clon_c - blon) >= 0)
+      AND ((elon - clon) * (clat_c - clat) - (elat - clat) * (clon_c - clon) >= 0)
+      AND ((alon - elon) * (clat_c - elat) - (alat - elat) * (clon_c - elon) >= 0)
+    """,
+)
+def polygon_fill_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster fill (operators/spatial.polygon_rasterize): bbox-bounded
+    double sequence explode + per-edge cross-product fold on the cell
+    CENTER — no join, rows scale with bbox cells, capped fanout."""
+    from osm2gtfs_spark.operators.spatial import polygon_rasterize
+
+    n = tpch.load(spark, sf_dir, "nation")
+    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
+    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
+    dy = (F.col("n_nationkey") % 5) + 3.0
+    dx = (F.col("n_nationkey") % 7) + 4.0
+    polygons = n.select(
+        F.col("n_nationkey").cast("long").alias("polygon_id"),
+        F.array(
+            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
+            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
+        ).alias("vertices"),
+    )
+    return polygon_rasterize(polygons, res=7)
+
+
+@register(
+    "flow_pagerank",
+    f"""
+    -- flow-weighted PageRank over the res-5 OD cell graph, 3 unrolled
+    -- power iterations in EXACT integer arithmetic (scale 1e6,
+    -- damping 850 permille) — bit-reproducible under any agg order
+    WITH tr AS (
+      SELECT c_custkey % 100 AS trace_id, c_custkey // 100 AS obs_seq,
+             {tpch.derived_lat_sql('c_custkey')} AS lat,
+             {tpch.derived_lon_sql('c_custkey')} AS lon
+      FROM customer),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY obs_seq ASC)  AS rna,
+                ROW_NUMBER() OVER (PARTITION BY trace_id ORDER BY obs_seq DESC) AS rnd
+      FROM tr),
+    ends AS (
+      SELECT a.trace_id,
+             {cell_id_sql('a.lat', 'a.lon', 5)} AS o_cell,
+             {cell_id_sql('b.lat', 'b.lon', 5)} AS d_cell
+      FROM (SELECT * FROM r WHERE rna = 1) a
+      JOIN (SELECT * FROM r WHERE rnd = 1) b ON a.trace_id = b.trace_id),
+    od AS (SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS w
+           FROM ends GROUP BY o_cell, d_cell),
+    ow AS (SELECT o_cell, CAST(SUM(w) AS BIGINT) AS ow FROM od GROUP BY o_cell),
+    ew AS (SELECT od.o_cell AS s, od.d_cell AS d, od.w, ow.ow
+           FROM od JOIN ow USING (o_cell)),
+    nodes AS (SELECT o_cell AS n FROM od UNION SELECT d_cell FROM od),
+    r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS rk FROM nodes),
+    c1 AS (SELECT e.d AS n, CAST(SUM((r0.rk * e.w) // e.ow) AS BIGINT) AS c
+           FROM r0 JOIN ew e ON r0.n = e.s GROUP BY e.d),
+    r1 AS (SELECT nodes.n,
+                  CAST(150000 + (850 * COALESCE(c1.c, 0)) // 1000 AS BIGINT) AS rk
+           FROM nodes LEFT JOIN c1 ON nodes.n = c1.n),
+    c2 AS (SELECT e.d AS n, CAST(SUM((r1.rk * e.w) // e.ow) AS BIGINT) AS c
+           FROM r1 JOIN ew e ON r1.n = e.s GROUP BY e.d),
+    r2 AS (SELECT nodes.n,
+                  CAST(150000 + (850 * COALESCE(c2.c, 0)) // 1000 AS BIGINT) AS rk
+           FROM nodes LEFT JOIN c2 ON nodes.n = c2.n),
+    c3 AS (SELECT e.d AS n, CAST(SUM((r2.rk * e.w) // e.ow) AS BIGINT) AS c
+           FROM r2 JOIN ew e ON r2.n = e.s GROUP BY e.d),
+    r3 AS (SELECT nodes.n,
+                  CAST(150000 + (850 * COALESCE(c3.c, 0)) // 1000 AS BIGINT) AS rk
+           FROM nodes LEFT JOIN c3 ON nodes.n = c3.n)
+    SELECT n AS node, rk AS rank FROM r3
+    """,
+)
+def flow_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network importance (operators/mobility.pagerank_bounded) over
+    the OD flow graph: integer power iterations unrolled into one lazy
+    plan; per round one equi join + map-side-combined sum."""
+    from osm2gtfs_spark.operators.mobility import od_matrix, pagerank_bounded
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    traces = cust.select(
+        (k % 100).alias("trace_id"),
+        F.expr("c_custkey div 100").alias("obs_seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    od = od_matrix(traces, res=5)
+    edges = od.select(
+        F.col("o_cell").alias("src"),
+        F.col("d_cell").alias("dst"),
+        F.col("n_trips").alias("w"),
+    )
+    return pagerank_bounded(edges, iters=3)

@@ -62,6 +62,9 @@ GUARDED = {
     "grid_voronoi_alloc": 0,
     "network_reach_cost": 0,
     "chunk_text_overlap": 0,
+    "polygon_fill_cells": 0,
+    "flow_pagerank": 0,
+    "tile_quadkeys": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

@@ -74,8 +74,18 @@ AUDIT = [
     "focal_cell_smoothing",
     "zonal_stats_polygons",
     "bigram_fluency_score",
-    # raster_region_extract excluded: plan construction executes the CC
-    # rounds and the emitted plan covers only the post-CC tail
+    # round-5 third session
+    "gi_star_hotspots",
+    "tile_pyramid",
+    "grid_voronoi_alloc",
+    "network_reach_cost",
+    "chunk_text_overlap",
+    "polygon_fill_cells",
+    "flow_pagerank",
+    "tile_quadkeys",
+    # raster_region_extract / grid_dbscan_clusters excluded: plan
+    # construction executes the CC rounds and the emitted plan covers
+    # only the post-CC tail
 ]
 
 
