@@ -303,3 +303,53 @@ def pack_interleaved(
         (seg_end - F.col("start")).cast("long").alias("span_tok_end"),
         (seg_start - F.col("chunk_id") * budget).cast("long").alias("chunk_tok_start"),
     )
+
+
+def chunk_spans(
+    docs: DataFrame,
+    budget: int,
+    media_tokens: int = 64,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Retrieval-side chunking of interleaved documents at SPAN
+    granularity: (doc_id, chunk_idx, pos, kind, cost, chunk_off) —
+    span ``pos`` belongs to chunk ``chunk_idx`` of its own document,
+    where chunks are nominal ``budget``-token windows over the doc's
+    cumulative token cost and every span lands WHOLE in the chunk its
+    first token falls in. Media spans are therefore atomic (a vision
+    placeholder block is never split), and text spans never break
+    mid-span — the property a retrieval index needs so no answer span
+    is cut; a chunk may overrun the nominal budget by at most one
+    span's cost.
+
+    The per-DOC twin of :func:`pack_interleaved` (which concatenates
+    ACROSS documents and splits spans exactly at training-sequence
+    cuts): packing optimizes token utilization, chunking preserves
+    span integrity.
+
+    Plan shape: explode → one per-doc prefix-sum window (partitioned
+    by doc, never global) → integer div. Pure codegen, integer
+    arithmetic end to end; skew bounded by the longest document.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    flat = explode_spans(docs, doc_id, spans_col).withColumn(
+        "cost", _token_cost(F.col("kind"), F.col("text"), media_tokens).cast("long")
+    )
+    wd = (
+        Window.partitionBy(doc_id)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flat = flat.withColumn(
+        "_off", F.coalesce(F.sum("cost").over(wd), F.lit(0).cast("long"))
+    )
+    return flat.select(
+        doc_id,
+        F.expr(f"_off div {budget}").cast("long").alias("chunk_idx"),
+        "pos",
+        "kind",
+        "cost",
+        (F.col("_off") % F.lit(budget)).cast("long").alias("chunk_off"),
+    )

@@ -72,6 +72,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "geofence_stream",
+    "interleaved_chunk_spans",
     "polygon_fill_cells",
     "flow_pagerank",
     "tile_quadkeys",
@@ -5135,3 +5137,111 @@ def flow_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_trips").alias("w"),
     )
     return pagerank_bounded(edges, iters=3)
+
+
+@register(
+    "interleaved_chunk_spans",
+    f"""
+    -- retrieval-side span chunking: nominal 6-token windows over each
+    -- doc's cumulative token cost; a span lands WHOLE in the chunk its
+    -- first token falls in (media spans cost 4 placeholder tokens)
+    WITH sp AS ({_SPAN_SYNTH_SQL}),
+    c AS (
+      SELECT doc_id, pos, kind,
+             CASE WHEN kind <> 'text' THEN 4
+                  WHEN length(stext) = 0 THEN 0
+                  ELSE length(stext)
+                       - length(replace(stext, ' ', '')) + 1 END AS cost
+      FROM sp),
+    o AS (
+      SELECT doc_id, pos, kind, CAST(cost AS BIGINT) AS cost,
+             CAST(COALESCE(SUM(cost) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM c)
+    SELECT doc_id, off // 6 AS chunk_idx, pos, kind, cost,
+           off % 6 AS chunk_off
+    FROM o
+    """,
+)
+def interleaved_chunk_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-atomic chunking (operators/spans.chunk_spans): per-doc
+    prefix-sum window + integer div — media blocks never split, text
+    spans never break mid-span; the per-doc retrieval twin of
+    pack_interleaved."""
+    from osm2gtfs_spark.operators import spans as SP
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return SP.chunk_spans(_synth_interleaved(d), budget=6, media_tokens=4)
+
+
+@register(
+    "geofence_stream",
+    f"""
+    -- STREAMING geofence occupancy, value-checked against the batch
+    -- truth: hourly event counts inside each district diamond (same
+    -- 25-polygon table as zonal stats), drained via AvailableNow
+    WITH p AS (SELECT ts,
+                      (user_id % 180) - 90 + value / 1000.0 AS lat,
+                      (event_id % 360) - 180 + value / 1000.0 AS lon
+               FROM events),
+    poly AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS polygon_id,
+             ((n_nationkey * 31) % 120) - 60 + 0.5 AS lat0,
+             ((n_nationkey * 47) % 300) - 150 + 0.5 AS lon0,
+             (n_nationkey % 5) + 3.0 AS dy,
+             (n_nationkey % 7) + 4.0 AS dx
+      FROM nation),
+    v AS (SELECT polygon_id,
+                 lat0 - dy AS alat, lon0 AS alon,
+                 lat0 AS blat, lon0 + dx AS blon,
+                 lat0 + dy AS clat, lon0 AS clon,
+                 lat0 AS elat, lon0 - dx AS elon
+          FROM poly)
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', p.ts)) AS BIGINT) AS ws_epoch,
+           v.polygon_id, COUNT(*) AS n_events
+    FROM p JOIN v ON
+         ((blon - alon) * (p.lat - alat) - (blat - alat) * (p.lon - alon) >= 0)
+     AND ((clon - blon) * (p.lat - blat) - (clat - blat) * (p.lon - blon) >= 0)
+     AND ((elon - clon) * (p.lat - clat) - (elat - clat) * (p.lon - clon) >= 0)
+     AND ((alon - elon) * (p.lat - elat) - (alat - elat) * (p.lon - elon) >= 0)
+    GROUP BY 1, 2
+    """,
+)
+def geofence_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofencing in the correctness gate
+    (streaming/events.geofence_stream): cell-bucketed stream-static
+    containment join + watermarked windowed counts, drained via
+    AvailableNow and hash-matched against the batch containment
+    GROUP BY."""
+    import tempfile
+
+    from osm2gtfs_spark.streaming import events as SE
+
+    pts = SE.stream_events(spark, sf_dir).select(
+        "ts",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    n = tpch.load(spark, sf_dir, "nation")
+    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
+    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
+    dy = (F.col("n_nationkey") % 5) + 3.0
+    dx = (F.col("n_nationkey") % 7) + 4.0
+    polygons = n.select(
+        F.col("n_nationkey").cast("long").alias("polygon_id"),
+        F.array(
+            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
+            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
+        ).alias("vertices"),
+    )
+    out = SE.geofence_stream(pts, polygons, res=4, window="1 hour",
+                             watermark="2 hours")
+    with tempfile.TemporaryDirectory() as td:
+        SE.run_available_now(out, "gate_geofence_stream", td)
+    return spark.sql(
+        "SELECT CAST(window_start AS LONG) AS ws_epoch, polygon_id, n_events "
+        "FROM gate_geofence_stream"
+    )
