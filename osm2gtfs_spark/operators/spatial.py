@@ -2227,3 +2227,33 @@ def polygon_rasterize(
         + F.col("_iy").cast("long")
     )
     return cells.filter(inside).select(polygon_key, cell.alias("cell_id"))
+
+
+def tile_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    cell_col: str = "cell_id",
+    value_col: str = "n",
+) -> DataFrame:
+    """Raster change feed: (cell_id, n_old, n_new, delta) for every
+    cell whose count CHANGED between two tile snapshots — what a map
+    update pipeline ships downstream instead of the full raster
+    ("which tiles must re-render after this OSM diff").
+
+    One full-outer equi join on the cell id + a delta filter; absent
+    cells coalesce to 0 on their side, so appears/disappears emit with
+    n_old/n_new = 0. Shuffle is keyed by cell id on both sides — at
+    production scale both snapshots are stored bucketed by cell (or
+    Morton range), making this a zero-exchange bucket-local join."""
+    o = old.select(F.col(cell_col), F.col(value_col).alias("_o"))
+    nw = new.select(F.col(cell_col), F.col(value_col).alias("_n"))
+    return (
+        o.join(nw, cell_col, "full")
+        .select(
+            cell_col,
+            F.coalesce(F.col("_o"), F.lit(0).cast("long")).alias("n_old"),
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_new"),
+        )
+        .withColumn("delta", F.col("n_new") - F.col("n_old"))
+        .filter(F.col("delta") != 0)
+    )

@@ -72,6 +72,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "tile_pyramid_ingest",
+    "tile_snapshot_diff",
     "geofence_stream",
     "interleaved_chunk_spans",
     "polygon_fill_cells",
@@ -5245,3 +5247,99 @@ def geofence_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CAST(window_start AS LONG) AS ws_epoch, polygon_id, n_events "
         "FROM gate_geofence_stream"
     )
+
+
+@register(
+    "tile_pyramid_ingest",
+    f"""
+    -- INCREMENTAL tile-pyramid ingest, value-checked against the batch
+    -- truth: per-micro-batch pyramid partials (dynamic-overwrite
+    -- partitioned by batch id) merged at read time must equal the
+    -- one-shot batch pyramid over the same points
+    WITH p AS (SELECT (user_id % 180) - 90 + value / 1000.0 AS lat,
+                      (event_id % 360) - 180 + value / 1000.0 AS lon
+               FROM events),
+    c AS (SELECT {cell_id_sql('lat', 'lon', 5)} AS cell_id,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM p GROUP BY 1),
+    d AS (SELECT cell_id, n,
+                 (cell_id - 5 * 4503599627370496) // 67108864 AS ix,
+                 (cell_id - 5 * 4503599627370496) % 67108864  AS iy
+          FROM c),
+    lv(lvl, shift) AS (VALUES (CAST(0 AS BIGINT), CAST(32 AS BIGINT)),
+                              (1, 16), (2, 8), (3, 4), (4, 2), (5, 1))
+    SELECT lv.lvl AS res,
+           lv.lvl * 4503599627370496
+             + (d.ix // lv.shift) * 67108864
+             + (d.iy // lv.shift) AS cell_id,
+           CAST(SUM(d.n) AS BIGINT) AS n
+    FROM d, lv
+    GROUP BY 1, 2
+    """,
+)
+def tile_pyramid_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable tiling in the correctness gate
+    (streaming/tile_ingest): foreachBatch writes per-batch pyramid
+    partials under _batch_id (idempotent replay via dynamic partition
+    overwrite — additive partials need no state read); the merged
+    read-side pyramid hash-matches the one-shot batch ladder."""
+    import tempfile
+
+    from osm2gtfs_spark.streaming import events as SE
+    from osm2gtfs_spark.streaming import tile_ingest as TI
+
+    pts = SE.stream_events(spark, sf_dir).select(
+        "ts",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    td = tempfile.mkdtemp(prefix="tile_ingest_gate_")
+    TI.tile_ingest_available_now(
+        pts,
+        state_dir=f"{td}/state",
+        checkpoint_dir=f"{td}/ck",
+        res_fine=5,
+        res_coarse=0,
+    )
+    return TI.read_pyramid(spark, f"{td}/state")
+
+
+@register(
+    "tile_snapshot_diff",
+    f"""
+    -- raster change feed between two tile snapshots (before/after a
+    -- simulated delete of every 13th stop): cells whose count changed,
+    -- with appears/disappears coalesced to 0
+    WITH s AS ({tpch.STOPS_SQL}),
+    old AS (
+      SELECT {cell_id_sql('lat', 'lon', 6)} AS cell_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY 1),
+    new AS (
+      SELECT {cell_id_sql('lat', 'lon', 6)} AS cell_id,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE stop_key % 13 <> 5 GROUP BY 1)
+    SELECT COALESCE(old.cell_id, new.cell_id) AS cell_id,
+           COALESCE(old.n, 0) AS n_old,
+           COALESCE(new.n, 0) AS n_new,
+           COALESCE(new.n, 0) - COALESCE(old.n, 0) AS delta
+    FROM old FULL OUTER JOIN new ON old.cell_id = new.cell_id
+    WHERE COALESCE(new.n, 0) - COALESCE(old.n, 0) <> 0
+    """,
+)
+def tile_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile change feed (operators/spatial.tile_snapshot_diff): one
+    full-outer cell join + delta filter — the downstream artifact a
+    map-update pipeline ships instead of the full raster."""
+    from osm2gtfs_spark.operators.spatial import tile_snapshot_diff
+
+    stops = tpch.stops(spark, sf_dir)
+    old = stops.groupBy(cell_id("lat", "lon", 6).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    new = (
+        stops.filter(F.col("stop_key") % 13 != 5)
+        .groupBy(cell_id("lat", "lon", 6).alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tile_snapshot_diff(old, new)

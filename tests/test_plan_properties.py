@@ -65,9 +65,11 @@ GUARDED = {
     "polygon_fill_cells": 0,
     "flow_pagerank": 0,
     "tile_quadkeys": 0,
-    # geofence_stream is NOT guarded: it drains a streaming query at
-    # construction (same exclusion as the other streaming gates)
+    # geofence_stream / tile_pyramid_ingest are NOT guarded: they drain
+    # a streaming query at construction (same exclusion as the other
+    # streaming gates)
     "interleaved_chunk_spans": 0,
+    "tile_snapshot_diff": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

@@ -84,8 +84,10 @@ AUDIT = [
     "flow_pagerank",
     "tile_quadkeys",
     "interleaved_chunk_spans",
-    # geofence_stream excluded: the gate drains a streaming query at
-    # construction (same exclusion as the other streaming gates)
+    "tile_snapshot_diff",
+    # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
+    # streaming query at construction (same exclusion as the other
+    # streaming gates)
     # raster_region_extract / grid_dbscan_clusters excluded: plan
     # construction executes the CC rounds and the emitted plan covers
     # only the post-CC tail
