@@ -167,6 +167,17 @@ def main() -> None:
         "corridor_match_routes",
         "idw_grid_interpolation",
         "pack_interleaved_chunks",
+        # round-5 third session
+        "gi_star_hotspots",
+        "tile_pyramid",
+        "tile_quadkeys",
+        "grid_voronoi_alloc",
+        "network_reach_cost",
+        "polygon_fill_cells",
+        "flow_pagerank",
+        "tile_snapshot_diff",
+        "chunk_text_overlap",
+        "interleaved_chunk_spans",
     ):
         fn = registry[gname]
         fn(spark, sf_dir).count()  # warm
