@@ -116,3 +116,37 @@ def topk_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def distinct_buckets(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    hex_chars: int = 3,
+) -> DataFrame:
+    """Deterministic cardinality sketch (linear counting registers):
+    (group, occupied_buckets, n_rows) where ``occupied_buckets`` counts
+    the DISTINCT md5-prefix buckets (16^hex_chars of them) the group's
+    values hash into. The linear-counting estimate
+    ``-m·ln(1 − occupied/m)`` is a client-side formula over the exact
+    integer this emits — the engine keeps the output integer-exact
+    (ln() drifts across engines; same dialect decision as
+    bigram_fluency_score's bit-length log2).
+
+    Why not ``approx_count_distinct``: Spark's HLL++ sketch is
+    engine-internal — not reproducible against any oracle, nor stable
+    across Spark versions. Bucketed counting is deterministic,
+    mergeable, and the bucket-id domain is BOUNDED (≤ 16^hex_chars per
+    group), so the exact count-distinct underneath dedupes map-side to
+    at most m values per partition before the shuffle — per-group
+    state is O(m) regardless of true cardinality, which is the whole
+    point at 10^12 rows (an exact distinct on the raw values would
+    shuffle every distinct value).
+    """
+    if not 1 <= hex_chars <= 8:
+        raise ValueError(f"hex_chars must be in [1, 8], got {hex_chars}")
+    bucket = F.substring(F.md5(F.col(value_col).cast("string")), 1, hex_chars)
+    return df.groupBy(group_col).agg(
+        F.countDistinct(bucket).alias("occupied_buckets"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -374,3 +374,114 @@ def pagerank_bounded(
             ).cast("long").alias("_r"),
         )
     return rank.select(F.col("_n").alias("node"), F.col("_r").alias("rank"))
+
+
+def flow_rose(
+    traces: DataFrame,
+    res: int,
+    trace_col: str = "trace_id",
+    seq_col: str = "obs_seq",
+) -> DataFrame:
+    """(cell_id, sector, n): directional flow histogram — consecutive
+    observations of each trace binned into 8 compass sectors at the
+    origin point's cell. The "flow rose" a network planner reads per
+    tile ("traffic here moves mostly north-east").
+
+    Sectors are 0..7 counter-clockwise from East (E, NE, N, NW, W, SW,
+    S, SE), cut at the octant diagonals via sign and |dlat| vs |dlon|
+    comparisons — completely trig-free (same dialect decision as
+    turn_classification: atan2 drifts across engines, comparisons
+    don't). Zero-displacement pairs are dropped.
+
+    Plan: one per-trace lag window (partitioned by trace, never
+    global) + one grouped count, both map-side combined. Skew bounded
+    by the hottest trace / cell.
+    """
+    w = Window.partitionBy(trace_col).orderBy(seq_col)
+    steps = traces.select(
+        F.col(trace_col),
+        F.col(seq_col),
+        F.col("lat"),
+        F.col("lon"),
+        F.lag("lat").over(w).alias("_plat"),
+        F.lag("lon").over(w).alias("_plon"),
+    ).filter(F.col("_plat").isNotNull())
+    dlat = F.col("lat") - F.col("_plat")
+    dlon = F.col("lon") - F.col("_plon")
+    adlat, adlon = F.abs(dlat), F.abs(dlon)
+    # octant cuts at |dlat| = |dlon| (the 45-degree diagonals); axis
+    # ties go to the counter-clockwise-earlier sector deterministically
+    sector = (
+        F.when((adlon >= adlat) & (dlon > 0) & (dlat >= 0), 0)   # E
+        .when((adlat > adlon) & (dlat > 0) & (dlon >= 0), 1)     # NE->N side
+        .when((adlat > adlon) & (dlat > 0), 2)                   # N->NW side
+        .when((adlon >= adlat) & (dlon < 0) & (dlat > 0), 3)     # NW->W side
+        .when((adlon >= adlat) & (dlon < 0), 4)                  # W/SW side
+        .when((adlat > adlon) & (dlat < 0) & (dlon <= 0), 5)     # SW->S side
+        .when((adlat > adlon) & (dlat < 0), 6)                   # S->SE side
+        .otherwise(7)                                            # SE->E side
+    )
+    moved = steps.filter((dlat != 0) | (dlon != 0))
+    return (
+        moved.groupBy(
+            cell_id(F.col("_plat"), F.col("_plon"), res).alias("cell_id"),
+            sector.cast("long").alias("sector"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cell_anomaly(
+    points: DataFrame,
+    res: int,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(cell_id, ws_epoch, n, z): tumbling-window activity counts per
+    cell plus each window's z-score against ITS OWN cell's history —
+    "this tile is 3σ above its normal hourly traffic", the anomaly
+    feed behind incident detection on a coverage map.
+
+    Moments are over the cell's OCCUPIED windows (sparse-raster
+    convention, same as gi_star's support): exact BIGINT sums via one
+    window partitioned BY CELL over the per-(cell, window) aggregate —
+    never a global window, state bounded by the busiest cell's window
+    count. The z expression mirrors token-for-token in the oracle
+    (IEEE mul/div/sqrt bit-identical); a constant-history cell (zero
+    variance) yields z = 0 explicitly — Spark x/0 is NULL where DuckDB
+    is inf, so the guard is a CASE branch on both sides.
+    """
+    counts = (
+        points.groupBy(
+            F.window(ts_col, window).alias("_w"),
+            cell_id(lat_col, lon_col, res).alias("cell_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            # NTZ-safe via the session-UTC timestamp cast (same dialect
+            # note as sessionize_batch)
+            F.unix_seconds(F.col("_w.start").cast("timestamp")).alias("ws_epoch"),
+            "cell_id",
+            "n",
+        )
+    )
+    wc = Window.partitionBy("cell_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stats = (
+        counts.withColumn("_k", F.count(F.lit(1)).over(wc))
+        .withColumn("_s1", F.sum("n").over(wc))
+        .withColumn("_s2", F.sum(F.col("n") * F.col("n")).over(wc))
+    )
+    kd = F.col("_k").cast("double")
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    nd = F.col("n").cast("double")
+    mean = s1d / kd
+    varp = s2d / kd - mean * mean
+    z = F.when(F.sqrt(varp) == F.lit(0.0), F.lit(0.0)).otherwise(
+        (nd - mean) / F.sqrt(varp)
+    )
+    return stats.select("cell_id", "ws_epoch", "n", z.alias("z"))

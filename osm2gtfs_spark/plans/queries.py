@@ -72,6 +72,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "cell_anomaly_windows",
+    "flow_rose_cells",
+    "distinct_sketch_buckets",
     "tile_pyramid_ingest",
     "tile_snapshot_diff",
     "geofence_stream",
@@ -5343,3 +5346,128 @@ def tile_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return tile_snapshot_diff(old, new)
+
+
+@register(
+    "cell_anomaly_windows",
+    f"""
+    -- per-cell temporal anomaly: hourly counts z-scored against the
+    -- SAME cell's occupied-window history (exact BIGINT moments; the
+    -- double z expression mirrors the engine token-for-token)
+    WITH p AS (SELECT ts,
+                      (user_id % 180) - 90 + value / 1000.0 AS lat,
+                      (event_id % 360) - 180 + value / 1000.0 AS lon
+               FROM events),
+    c AS (
+      SELECT {cell_id_sql('lat', 'lon', 5)} AS cell_id,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws_epoch,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY 1, 2),
+    s AS (
+      SELECT cell_id, ws_epoch, n,
+             CAST(CAST(COUNT(*) OVER w AS BIGINT) AS DOUBLE) AS kd,
+             CAST(CAST(SUM(n) OVER w AS BIGINT) AS DOUBLE) AS s1d,
+             CAST(CAST(SUM(n * n) OVER w AS BIGINT) AS DOUBLE) AS s2d
+      FROM c
+      WINDOW w AS (PARTITION BY cell_id))
+    SELECT cell_id, ws_epoch, n,
+           CASE WHEN SQRT(s2d / kd - (s1d / kd) * (s1d / kd)) = 0.0 THEN 0.0
+                ELSE (CAST(n AS DOUBLE) - s1d / kd)
+                     / SQRT(s2d / kd - (s1d / kd) * (s1d / kd))
+           END AS z
+    FROM s
+    """,
+)
+def cell_anomaly_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile anomaly feed (operators/mobility.cell_anomaly): one
+    tumbling-window aggregate + one per-CELL moment window (never
+    global); zero-variance guard mirrored (Spark x/0 NULL vs DuckDB
+    inf)."""
+    from osm2gtfs_spark.operators.mobility import cell_anomaly
+
+    ev = tpch.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "ts",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    return cell_anomaly(pts, res=5, window="1 hour")
+
+
+@register(
+    "flow_rose_cells",
+    f"""
+    -- 8-sector directional flow histogram per origin cell: consecutive
+    -- trace observations binned trig-free at the octant diagonals
+    WITH tr AS (
+      SELECT c_custkey % 100 AS trace_id, c_custkey // 100 AS obs_seq,
+             {tpch.derived_lat_sql('c_custkey')} AS lat,
+             {tpch.derived_lon_sql('c_custkey')} AS lon
+      FROM customer),
+    st AS (
+      SELECT trace_id, obs_seq, lat, lon,
+             lag(lat) OVER (PARTITION BY trace_id ORDER BY obs_seq) AS plat,
+             lag(lon) OVER (PARTITION BY trace_id ORDER BY obs_seq) AS plon
+      FROM tr),
+    mv AS (
+      SELECT *, lat - plat AS dlat, lon - plon AS dlon,
+             ABS(lat - plat) AS adlat, ABS(lon - plon) AS adlon
+      FROM st
+      WHERE plat IS NOT NULL AND (lat - plat <> 0 OR lon - plon <> 0)),
+    sec AS (
+      SELECT {cell_id_sql('plat', 'plon', 5)} AS cell_id,
+             CAST(CASE
+               WHEN adlon >= adlat AND dlon > 0 AND dlat >= 0 THEN 0
+               WHEN adlat > adlon AND dlat > 0 AND dlon >= 0 THEN 1
+               WHEN adlat > adlon AND dlat > 0 THEN 2
+               WHEN adlon >= adlat AND dlon < 0 AND dlat > 0 THEN 3
+               WHEN adlon >= adlat AND dlon < 0 THEN 4
+               WHEN adlat > adlon AND dlat < 0 AND dlon <= 0 THEN 5
+               WHEN adlat > adlon AND dlat < 0 THEN 6
+               ELSE 7 END AS BIGINT) AS sector
+      FROM mv)
+    SELECT cell_id, sector, CAST(COUNT(*) AS BIGINT) AS n
+    FROM sec GROUP BY cell_id, sector
+    """,
+)
+def flow_rose_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional flow rose (operators/mobility.flow_rose): per-trace
+    lag window + grouped count; octant binning by sign/magnitude
+    comparison only — no atan2 (cross-engine trig drift)."""
+    from osm2gtfs_spark.operators.mobility import flow_rose
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    traces = cust.select(
+        (k % 100).alias("trace_id"),
+        F.expr("c_custkey div 100").alias("obs_seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    return flow_rose(traces, res=5)
+
+
+@register(
+    "distinct_sketch_buckets",
+    """
+    -- deterministic cardinality sketch: linear-counting registers as
+    -- occupied md5-prefix buckets (4096) per group, vs the raw row
+    -- count; the -m*ln(1 - occ/m) estimate is client-side arithmetic
+    SELECT l_returnflag AS grp,
+           CAST(COUNT(DISTINCT substr(md5(CAST(l_partkey AS VARCHAR)), 1, 3))
+                AS BIGINT) AS occupied_buckets,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_sketch_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketch (operators/aggregates.distinct_buckets):
+    bounded-domain bucket distinct — per-group state O(4096) at any
+    true cardinality, unlike exact distinct (shuffles every value) or
+    HLL++ (engine-internal, unverifiable)."""
+    from osm2gtfs_spark.operators.aggregates import distinct_buckets
+
+    li = tpch.load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_partkey"
+    )
+    return distinct_buckets(li, "grp", "l_partkey", hex_chars=3)

@@ -70,6 +70,9 @@ GUARDED = {
     # streaming gates)
     "interleaved_chunk_spans": 0,
     "tile_snapshot_diff": 0,
+    "cell_anomaly_windows": 0,
+    "flow_rose_cells": 0,
+    "distinct_sketch_buckets": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

@@ -85,6 +85,9 @@ AUDIT = [
     "tile_quadkeys",
     "interleaved_chunk_spans",
     "tile_snapshot_diff",
+    "cell_anomaly_windows",
+    "flow_rose_cells",
+    "distinct_sketch_buckets",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
