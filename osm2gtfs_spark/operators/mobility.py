@@ -485,3 +485,53 @@ def cell_anomaly(
         (nd - mean) / F.sqrt(varp)
     )
     return stats.select("cell_id", "ws_epoch", "n", z.alias("z"))
+
+
+def speed_map(
+    pings: DataFrame,
+    res: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(cell_id, n_segments, sum_speed_mm_s): per-cell traffic-speed
+    partials from consecutive pings of each user — the speed heatmap
+    behind congestion maps. Speeds are exact integers (floor of
+    great-circle millimeters per second: haversine_m·10^6 div gap_ms),
+    and the per-cell output is (count, sum) PARTIALS rather than a
+    mean, so downstream rollups (coarser cells, longer horizons) merge
+    without re-reading pings and the double division happens exactly
+    once, client-side.
+
+    Segments attach to the cell of their ORIGIN ping; zero/negative
+    time gaps are dropped (clock skew), as are zero-distance holds.
+    Plan: one per-user lag window + one grouped sum — map-side
+    combined, skew bounded by the busiest user / cell.
+    """
+    from osm2gtfs_spark.functions.geo import haversine_m
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    epoch = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    steps = pings.select(
+        F.col(user_col),
+        F.col("lat"),
+        F.col("lon"),
+        epoch.alias("_t"),
+        F.lag("lat").over(w).alias("_plat"),
+        F.lag("lon").over(w).alias("_plon"),
+        F.lag(epoch).over(w).alias("_pt"),
+    ).filter(F.col("_pt").isNotNull() & (F.col("_t") > F.col("_pt")))
+    dist_m = haversine_m(F.col("_plat"), F.col("_plon"), F.col("lat"), F.col("lon"))
+    speed = F.floor(
+        dist_m * F.lit(1000000.0) / (F.col("_t") - F.col("_pt")).cast("double")
+    ).cast("long")
+    moving = steps.filter(dist_m > 0)
+    return (
+        moving.groupBy(cell_id(F.col("_plat"), F.col("_plon"), res).alias("cell_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(speed).alias("sum_speed_mm_s"),
+        )
+    )

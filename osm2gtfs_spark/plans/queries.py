@@ -27,6 +27,7 @@ from osm2gtfs_spark.functions.geo import (
     cell_id_sql,
     cell_ix,
     cell_iy,
+    haversine_sql,
     in_bbox,
     quadkey_sql,
 )
@@ -72,6 +73,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "mobility_pipeline_composed",
+    "speed_map_cells",
     "cell_anomaly_windows",
     "flow_rose_cells",
     "distinct_sketch_buckets",
@@ -5471,3 +5474,115 @@ def distinct_sketch_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"), "l_partkey"
     )
     return distinct_buckets(li, "grp", "l_partkey", hex_chars=3)
+
+
+@register(
+    "speed_map_cells",
+    f"""
+    -- per-cell traffic-speed partials: consecutive pings per user,
+    -- integer mm/s (floor of haversine meters x 1e6 / gap ms), origin
+    -- cell at res 5; (count, sum) partials so rollups merge exactly
+    WITH p AS (SELECT event_id, user_id, ts,
+                      (user_id % 180) - 90 + value / 1000.0 AS lat,
+                      (event_id % 360) - 180 + value / 1000.0 AS lon
+               FROM events),
+    st AS (
+      SELECT *, epoch_ms(ts) AS t,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+             lag(epoch_ms(ts)) OVER w AS pt
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    mv AS (
+      SELECT *, {haversine_sql('plat', 'plon', 'lat', 'lon')} AS dist_m
+      FROM st WHERE pt IS NOT NULL AND t > pt),
+    sp AS (
+      SELECT {cell_id_sql('plat', 'plon', 5)} AS cell_id,
+             CAST(FLOOR(dist_m * 1000000.0 / CAST(t - pt AS DOUBLE))
+                  AS BIGINT) AS speed
+      FROM mv WHERE dist_m > 0)
+    SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(speed) AS BIGINT) AS sum_speed_mm_s
+    FROM sp GROUP BY cell_id
+    """,
+)
+def speed_map_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic speed map (operators/mobility.speed_map): one per-user
+    lag window + one grouped sum; exact integer speeds, (count, sum)
+    partials instead of means so coarser rollups merge without
+    re-reading pings."""
+    from osm2gtfs_spark.operators.mobility import speed_map
+
+    ev = tpch.load(spark, sf_dir, "events")
+    pings = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    return speed_map(pings, res=5)
+
+
+# composed mobility pipeline: od_matrix → pagerank → anchor cells with
+# their total in/out flows. The oracle REUSES flow_pagerank's CTE chain
+# verbatim (one source of truth for the integer power iteration) and
+# swaps its final projection for the flow-joined top-20.
+_MOBILITY_COMPOSED_SQL = _ORACLES["flow_pagerank"].replace(
+    "SELECT n AS node, rk AS rank FROM r3",
+    """, inf AS (SELECT d_cell AS n, CAST(SUM(w) AS BIGINT) AS inflow
+             FROM od GROUP BY d_cell),
+    outf AS (SELECT o_cell AS n, CAST(SUM(w) AS BIGINT) AS outflow
+             FROM od GROUP BY o_cell)
+    SELECT r3.n AS node, r3.rk AS rank,
+           COALESCE(inf.inflow, 0) AS inflow,
+           COALESCE(outf.outflow, 0) AS outflow
+    FROM r3 LEFT JOIN inf ON r3.n = inf.n
+            LEFT JOIN outf ON r3.n = outf.n
+    ORDER BY r3.rk DESC, r3.n ASC LIMIT 20""",
+)
+assert "inflow" in _MOBILITY_COMPOSED_SQL  # the replace actually fired
+
+
+@register("mobility_pipeline_composed", _MOBILITY_COMPOSED_SQL)
+def mobility_pipeline_composed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mobility analytics (the OD twin of
+    tile_pipeline_composed): od_matrix → integer pagerank → top-20
+    anchor cells by (rank desc, node asc) — a deterministic total
+    order, so the top-k SET is stable — joined with their total
+    in/out flows. Spark's top-k is TakeOrderedAndProject (no global
+    sort)."""
+    from osm2gtfs_spark.operators.mobility import od_matrix, pagerank_bounded
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    traces = cust.select(
+        (k % 100).alias("trace_id"),
+        F.expr("c_custkey div 100").alias("obs_seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    od = od_matrix(traces, res=5)
+    edges = od.select(
+        F.col("o_cell").alias("src"),
+        F.col("d_cell").alias("dst"),
+        F.col("n_trips").alias("w"),
+    )
+    ranks = pagerank_bounded(edges, iters=3)
+    inflow = od.groupBy(F.col("d_cell").alias("node")).agg(
+        F.sum("n_trips").alias("inflow")
+    )
+    outflow = od.groupBy(F.col("o_cell").alias("node")).agg(
+        F.sum("n_trips").alias("outflow")
+    )
+    return (
+        ranks.join(inflow, "node", "left")
+        .join(outflow, "node", "left")
+        .select(
+            "node",
+            "rank",
+            F.coalesce(F.col("inflow"), F.lit(0).cast("long")).alias("inflow"),
+            F.coalesce(F.col("outflow"), F.lit(0).cast("long")).alias("outflow"),
+        )
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )

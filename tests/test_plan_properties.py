@@ -73,6 +73,8 @@ GUARDED = {
     "cell_anomaly_windows": 0,
     "flow_rose_cells": 0,
     "distinct_sketch_buckets": 0,
+    "speed_map_cells": 0,
+    "mobility_pipeline_composed": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

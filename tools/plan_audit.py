@@ -88,6 +88,8 @@ AUDIT = [
     "cell_anomaly_windows",
     "flow_rose_cells",
     "distinct_sketch_buckets",
+    "speed_map_cells",
+    "mobility_pipeline_composed",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
