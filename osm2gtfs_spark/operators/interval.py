@@ -81,3 +81,27 @@ def rolling_event_stats(
     return events.withColumn("n_window", F.count(F.lit(1)).over(w)).withColumn(
         "sum_value_x100", F.sum(cents).over(w)
     )
+
+
+def locf_fill(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill per key: every NULL in
+    ``value_col`` takes the most recent non-null value in ``order_cols``
+    order (deterministic — pass a tiebreaker column). Leading NULLs (no
+    prior observation) stay NULL; callers choose their sentinel.
+
+    The standard sensor/telemetry repair before any rate or delta math.
+    One per-key ordered window (``last(..., ignorenulls)`` over
+    unbounded-preceding..current) — never global, skew bounded by the
+    hottest key; pure codegen."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))

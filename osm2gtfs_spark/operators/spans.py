@@ -353,3 +353,40 @@ def chunk_spans(
         "cost",
         (F.col("_off") % F.lit(budget)).cast("long").alias("chunk_off"),
     )
+
+
+def media_context(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(doc_id, pos, media_ref, before_text, after_text): for every
+    media span, the text of its closest preceding and following TEXT
+    spans — the caption/context pair extraction a multimodal training
+    pipeline runs to turn interleaved documents into (image, context)
+    examples.
+
+    Two per-doc windows (last non-null before, first non-null after —
+    media spans carry NULL text so they never shadow a text neighbor),
+    then a media filter; missing context coalesces to ''. Pure codegen,
+    skew bounded by the longest document."""
+    flat = explode_spans(docs, doc_id, spans_col)
+    txt = F.when(F.col("kind") == TEXT_KIND, F.col("text"))
+    wb = (
+        Window.partitionBy(doc_id)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = (
+        Window.partitionBy(doc_id)
+        .orderBy("pos")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    enriched = flat.withColumn(
+        "before_text", F.coalesce(F.last(txt, ignorenulls=True).over(wb), F.lit(""))
+    ).withColumn(
+        "after_text", F.coalesce(F.first(txt, ignorenulls=True).over(wa), F.lit(""))
+    )
+    return enriched.filter(F.col("kind") != TEXT_KIND).select(
+        doc_id, "pos", "media_ref", "before_text", "after_text"
+    )

@@ -2257,3 +2257,61 @@ def tile_snapshot_diff(
         .withColumn("delta", F.col("n_new") - F.col("n_old"))
         .filter(F.col("delta") != 0)
     )
+
+
+def moran_i(
+    cell_values: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    value_col: str = "n",
+) -> DataFrame:
+    """Global Moran's I over a cell raster with ring-1 (Chebyshev,
+    binary) adjacency: ONE row (n_cells, w_pairs, moran_i) — the
+    corpus-level "is this raster clustered at all" companion to the
+    per-cell :func:`gi_star` (local) statistic. I > 0: similar counts
+    cluster; I < 0: checkerboard; ~0: spatially random.
+
+    Every moment is an exact BIGINT sum — n, Σx, Σx², W = Σ wᵢ,
+    Σ wᵢxᵢ and the adjacency cross term Σᵢ xᵢ·rᵢ (rᵢ = neighbor sum) —
+    derived from the SAME scatter-to-ring + join shape as gi_star
+    (self excluded arithmetically: rᵢ = ring_sum − xᵢ, wᵢ = ring_cnt −
+    1), so no second shuffle family. The final I is double arithmetic
+    over those six integers, mirrored token-for-token in the oracle;
+    W = 0 (no adjacent occupied cells) or zero variance yield I = 0
+    explicitly. The one-row aggregate carries partition PARTIALS of
+    six integers only — the same bounded-SinglePartition argument as
+    corpus_stats.
+    """
+    v = F.col(value_col)
+    contrib = cell_values.select(
+        F.explode(cell_ring(F.col(cell_col), res, 1)).alias(cell_col),
+        v.alias("_v"),
+    )
+    ring = contrib.groupBy(cell_col).agg(
+        F.sum("_v").alias("_rs"), F.count(F.lit(1)).alias("_rc")
+    )
+    cells = cell_values.select(cell_col, v.alias("_x")).join(ring, cell_col)
+    per = cells.select(
+        F.col("_x"),
+        (F.col("_rs") - F.col("_x")).alias("_r"),
+        (F.col("_rc") - F.lit(1)).cast("long").alias("_w"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum("_w").alias("w_pairs"),
+        F.sum(F.col("_w") * F.col("_x")).alias("_swx"),
+        F.sum(F.col("_x") * F.col("_r")).alias("_cross"),
+    )
+    nd = F.col("n_cells").cast("double")
+    wd = F.col("w_pairs").cast("double")
+    m = F.col("_sx").cast("double") / nd
+    num = F.col("_cross").cast("double") - F.lit(2.0) * m * F.col("_swx").cast(
+        "double"
+    ) + m * m * wd
+    den = F.col("_sxx").cast("double") - nd * m * m
+    i_val = F.when((wd == F.lit(0.0)) | (den == F.lit(0.0)), F.lit(0.0)).otherwise(
+        (nd / wd) * (num / den)
+    )
+    return g.select("n_cells", "w_pairs", i_val.alias("moran_i"))

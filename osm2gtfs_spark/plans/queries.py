@@ -73,6 +73,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "media_context_pairs",
+    "moran_i_global",
+    "locf_gap_fill",
     "mobility_pipeline_composed",
     "speed_map_cells",
     "cell_anomaly_windows",
@@ -5585,4 +5588,146 @@ def mobility_pipeline_composed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
+    )
+
+
+@register(
+    "media_context_pairs",
+    f"""
+    -- (image, context) extraction from interleaved docs: each media
+    -- span's closest preceding/following TEXT span text ('' when none)
+    WITH sp AS ({_SPAN_SYNTH_SQL}),
+    t AS (
+      SELECT doc_id, pos, kind, media_ref,
+             CASE WHEN kind = 'text' THEN stext END AS txt
+      FROM sp),
+    e AS (
+      SELECT doc_id, pos, kind, media_ref,
+             COALESCE(last_value(txt IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               '') AS before_text,
+             COALESCE(first_value(txt IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+               '') AS after_text
+      FROM t)
+    SELECT doc_id, pos, media_ref, before_text, after_text
+    FROM e WHERE kind <> 'text'
+    """,
+)
+def media_context_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-context extraction (operators/spans.media_context): two
+    per-doc ignore-nulls windows + a media filter — the multimodal
+    (image, context) training-pair builder over the interleaved
+    corpus."""
+    from osm2gtfs_spark.operators import spans as SP
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return SP.media_context(_synth_interleaved(d))
+
+
+@register(
+    "moran_i_global",
+    f"""
+    -- global Moran's I over the res-6 stop raster, ring-1 binary
+    -- adjacency: exact BIGINT moments, mirrored double formula
+    WITH s AS ({tpch.STOPS_SQL}),
+    {_GI_RING_SQL},
+    r AS (
+      SELECT a.cell_id, a.n AS x,
+             CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS r_i,
+             CAST(COUNT(b.cell_id) AS BIGINT) AS w_i
+      FROM d a LEFT JOIN d b
+        ON LEAST(ABS(a.ix - b.ix), 64 - ABS(a.ix - b.ix)) <= 1
+       AND ABS(a.iy - b.iy) <= 1
+       AND a.cell_id <> b.cell_id
+      GROUP BY a.cell_id, a.n),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(w_i) AS BIGINT) AS w_pairs,
+             CAST(SUM(w_i * x) AS BIGINT) AS swx,
+             CAST(SUM(x * r_i) AS BIGINT) AS crossv
+      FROM r)
+    SELECT n_cells, w_pairs,
+           CASE WHEN CAST(w_pairs AS DOUBLE) = 0.0
+                  OR CAST(sxx AS DOUBLE)
+                     - CAST(n_cells AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE)) = 0.0
+                THEN 0.0
+                ELSE (CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE))
+                     * ((CAST(crossv AS DOUBLE)
+                         - 2.0 * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                               * CAST(swx AS DOUBLE)
+                         + (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                           * CAST(w_pairs AS DOUBLE))
+                        / (CAST(sxx AS DOUBLE)
+                           - CAST(n_cells AS DOUBLE)
+                             * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                             * (CAST(sx AS DOUBLE) / CAST(n_cells AS DOUBLE))))
+           END AS moran_i
+    FROM g
+    """,
+)
+def moran_i_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation (operators/spatial.moran_i): one
+    scatter-ring + one six-integer global aggregate (bounded
+    SinglePartition — partials only); the double formula mirrors the
+    oracle token-for-token."""
+    from osm2gtfs_spark.operators.spatial import moran_i
+
+    stops = tpch.stops(spark, sf_dir)
+    counts = stops.groupBy(cell_id("lat", "lon", 6).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return moran_i(counts, res=6)
+
+
+@register(
+    "locf_gap_fill",
+    """
+    -- last-observation-carried-forward per user: every 5th reading is
+    -- synthetically NULLed, the fill takes the latest prior non-null;
+    -- leading NULLs sentinel to -1
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS cents
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, cents,
+             last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM v)
+    SELECT user_id, event_id, COALESCE(cents, -2) AS cents,
+           COALESCE(filled, -1) AS filled_cents
+    FROM f
+    """,
+)
+def locf_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry gap repair (operators/interval.locf_fill): one per-key
+    ordered ignore-nulls window; deterministic via the (ts, event_id)
+    tiebreak."""
+    from osm2gtfs_spark.operators.interval import locf_fill
+
+    ev = tpch.load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_id") % 5 != 0, F.round(F.col("value") * 100, 0).cast("long")
+        ).alias("cents"),
+    )
+    filled = locf_fill(v, "user_id", ["ts", "event_id"], "cents", out_col="filled")
+    return filled.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.col("cents"), F.lit(-2).cast("long")).alias("cents"),
+        F.coalesce(F.col("filled"), F.lit(-1).cast("long")).alias("filled_cents"),
     )

@@ -75,6 +75,9 @@ GUARDED = {
     "distinct_sketch_buckets": 0,
     "speed_map_cells": 0,
     "mobility_pipeline_composed": 0,
+    "media_context_pairs": 0,
+    "moran_i_global": 0,
+    "locf_gap_fill": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:
@@ -88,6 +91,9 @@ ALLOW_SINGLE_PARTITION = {
     # gi_star: the global-moment window runs over the PER-CELL aggregate
     # table (≤ 4^res rows — grid-bounded metadata, never data rows)
     "gi_star_hotspots",
+    # moran_i: one-row global aggregate carrying six-integer partition
+    # PARTIALS over the per-cell table — same bounded shape
+    "moran_i_global",
 }
 
 

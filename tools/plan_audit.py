@@ -90,6 +90,9 @@ AUDIT = [
     "distinct_sketch_buckets",
     "speed_map_cells",
     "mobility_pipeline_composed",
+    "media_context_pairs",
+    "moran_i_global",
+    "locf_gap_fill",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
