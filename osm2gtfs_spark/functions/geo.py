@@ -352,7 +352,7 @@ def quadkey(lat, lon, res: int) -> Column:
     return F.concat(*digits)
 
 
-def quadkey_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+def quadkey_sql(res: int) -> str:
     """The identical quadkey as ANSI SQL over a CTE that must provide
     columns ``ix`` and ``iy`` at ``res`` (compute them once — the digit
     ladder references each 2·res times)."""

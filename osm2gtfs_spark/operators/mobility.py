@@ -535,3 +535,33 @@ def speed_map(
             F.sum(speed).alias("sum_speed_mm_s"),
         )
     )
+
+
+def cell_mix_gini(
+    events: DataFrame,
+    res: int,
+    category_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(cell_id, n, gini_permille): per-cell categorical diversity as
+    EXACT integer Gini impurity — 1000 − (1000·Σ n_c²) div n² — over
+    the category mix observed in each cell ("is this tile single-use
+    or mixed"). 0 = one category only; approaching 1000 = uniform mix.
+
+    Shannon entropy is the textbook choice but ln() drifts across
+    engines (the bigram_fluency_score lesson); Gini is a polynomial in
+    the counts, so it is oracle-exact AND cheaper (no log per row).
+    Two map-side-combined aggregates — (cell, category) counts, then
+    per-cell moments; skew bounded by the densest cell.
+    """
+    per_cat = events.groupBy(
+        cell_id(lat_col, lon_col, res).alias("cell_id"),
+        F.col(category_col).alias("_cat"),
+    ).agg(F.count(F.lit(1)).alias("_nc"))
+    per_cell = per_cat.groupBy("cell_id").agg(
+        F.sum("_nc").alias("n"),
+        F.sum(F.col("_nc") * F.col("_nc")).alias("_s2"),
+    )
+    gini = F.lit(1000) - F.expr("1000 * _s2 div (n * n)")
+    return per_cell.select("cell_id", "n", gini.cast("long").alias("gini_permille"))

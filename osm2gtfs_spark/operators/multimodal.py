@@ -253,3 +253,30 @@ def decode_media(media: DataFrame, fake: bool = True, batch_hint: int = 1024) ->
 def resize_features(meta: DataFrame, target: int = 8) -> DataFrame:
     """'Resize' = downsample the feature vector (slice) — column ops."""
     return meta.withColumn("features_small", F.slice("features", 1, target))
+
+
+def frame_sample(
+    meta: DataFrame,
+    k: int,
+    frames_col: str = "n_frames",
+    keep_cols: tuple[str, ...] = ("doc_id", "media_ref"),
+) -> DataFrame:
+    """Evenly-spaced frame sampling plan for video/animated media:
+    (keep_cols..., frame_idx) — at most ``k`` indices per asset,
+    ``idx_j = j·n_frames div k`` for j ∈ [0, k), deduplicated, so every
+    frame is selected when n_frames ≤ k and the spacing is uniform
+    otherwise. This is the PLAN side of frame sampling (which frames a
+    downstream decoder must extract — the per-frame pixel decode itself
+    is the stubbed :func:`decode_media` path per the container's
+    no-media-libs contract); the index math is pure codegen integer
+    arithmetic, fanout exactly min(k, n_frames) rows per asset.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j")
+    idx = F.expr(f"_j * {frames_col} div {k}").cast("int")
+    return (
+        meta.select(*keep_cols, frames_col, j)
+        .select(*keep_cols, idx.alias("frame_idx"))
+        .distinct()
+    )

@@ -2315,3 +2315,37 @@ def moran_i(
         (nd / wd) * (num / den)
     )
     return g.select("n_cells", "w_pairs", i_val.alias("moran_i"))
+
+
+def quadkey_rollup(
+    cell_counts: DataFrame,
+    res: int,
+    lat_col: str | None = None,
+    qk_col: str = "qk",
+    value_col: str = "n",
+) -> DataFrame:
+    """String-keyed tile pyramid: (lvl, qk, n) for every prefix level
+    0..res of the leaf quadkeys — the rollup an object-store tile
+    layout (keys = quadkey paths) materializes directly, exploiting
+    the parent-is-prefix property of
+    :func:`~osm2gtfs_spark.functions.geo.quadkey`. Level 0 is the
+    root's empty-string key.
+
+    The integer-id twin is :func:`cell_pyramid`; use that for compute,
+    this when the storage layout is path-keyed. Same scale shape: one
+    (res+1)-wide prefix explode per OCCUPIED leaf + one
+    map-side-combined sum — rows scale with occupied leaves × levels,
+    never points.
+    """
+    ladder = F.array(*[F.lit(r).cast("long") for r in range(0, res + 1)])
+    exploded = cell_counts.select(
+        F.col(value_col).alias("_v"),
+        F.col(qk_col).alias("_qk"),
+        F.explode(ladder).alias("lvl"),
+    )
+    return (
+        exploded.groupBy(
+            "lvl", F.substring(F.col("_qk"), 1, F.col("lvl")).alias(qk_col)
+        )
+        .agg(F.sum("_v").alias(value_col))
+    )

@@ -73,6 +73,9 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "media_frame_sample",
+    "cell_type_gini",
+    "quadkey_tile_rollup",
     "media_context_pairs",
     "moran_i_global",
     "locf_gap_fill",
@@ -5001,7 +5004,7 @@ def chunk_text_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- digit per level, MSB first (prefix = parent tile)
     WITH s AS ({tpch.STOPS_SQL}),
     {_GI_RING_SQL}
-    SELECT cell_id, {quadkey_sql('lat', 'lon', 6)} AS qk, n FROM d
+    SELECT cell_id, {quadkey_sql(6)} AS qk, n FROM d
     """,
 )
 def tile_quadkeys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5731,3 +5734,100 @@ def locf_gap_fill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cents"), F.lit(-2).cast("long")).alias("cents"),
         F.coalesce(F.col("filled"), F.lit(-1).cast("long")).alias("filled_cents"),
     )
+
+
+@register(
+    "media_frame_sample",
+    """
+    -- evenly-spaced frame sampling plan over the fake-decoded media
+    -- metadata: idx_j = j*n_frames div 4, deduplicated (all frames
+    -- selected when n_frames <= 4)
+    WITH m AS (SELECT concat('doc/', CAST(doc_id AS VARCHAR)) AS doc_id,
+                      concat('media://', md5(text)) AS media_ref
+               FROM documents),
+    f AS (SELECT doc_id, media_ref,
+                 1 + CAST(concat('0x', substr(md5(media_ref), 5, 2)) AS INT) % 30
+                     AS n_frames
+          FROM m)
+    SELECT DISTINCT doc_id, media_ref,
+           CAST(r.j * n_frames // 4 AS INT) AS frame_idx
+    FROM f, UNNEST(range(0, 4)) AS r(j)
+    """,
+)
+def media_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (operators/multimodal.frame_sample): pure
+    integer index math over the decoded metadata — which frames the
+    downstream decoder must extract; fanout min(k, n_frames)."""
+    d = tpch.load(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.concat(F.lit("media://"), F.md5(F.col("text"))).alias("media_ref"),
+    )
+    meta = MM.decode_media(media, fake=True)
+    return MM.frame_sample(meta, k=4)
+
+
+@register(
+    "cell_type_gini",
+    f"""
+    -- per-cell categorical diversity: EXACT integer Gini impurity
+    -- (1000 - (1000*sum nc^2) // n^2) of the event-type mix at res 5
+    WITH p AS (SELECT event_type,
+                      (user_id % 180) - 90 + value / 1000.0 AS lat,
+                      (event_id % 360) - 180 + value / 1000.0 AS lon
+               FROM events),
+    pc AS (
+      SELECT {cell_id_sql('lat', 'lon', 5)} AS cell_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS nc
+      FROM p GROUP BY 1, 2),
+    c AS (
+      SELECT cell_id, CAST(SUM(nc) AS BIGINT) AS n,
+             CAST(SUM(nc * nc) AS BIGINT) AS s2
+      FROM pc GROUP BY cell_id)
+    SELECT cell_id, n, 1000 - (1000 * s2) // (n * n) AS gini_permille
+    FROM c
+    """,
+)
+def cell_type_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial diversity map (operators/mobility.cell_mix_gini): Gini
+    impurity instead of entropy — polynomial in the counts, so
+    oracle-exact (ln() drifts across engines; the bigram_fluency
+    lesson) and log-free."""
+    from osm2gtfs_spark.operators.mobility import cell_mix_gini
+
+    ev = tpch.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
+        ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
+    )
+    return cell_mix_gini(pts, res=5, category_col="event_type")
+
+
+@register(
+    "quadkey_tile_rollup",
+    f"""
+    -- string-keyed tile pyramid: per-level quadkey-prefix rollups of
+    -- the res-6 stop counts (parent tile = string prefix; level 0 is
+    -- the root's empty key)
+    WITH s AS ({tpch.STOPS_SQL}),
+    {_GI_RING_SQL},
+    q AS (SELECT {quadkey_sql(6)} AS qk, n FROM d)
+    SELECT CAST(r.lvl AS BIGINT) AS lvl, substr(qk, 1, CAST(r.lvl AS INT)) AS qk,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM q, UNNEST(range(0, 7)) AS r(lvl)
+    GROUP BY 1, 2
+    """,
+)
+def quadkey_tile_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-keyed pyramid (operators/spatial.quadkey_rollup): prefix
+    explode + one map-side-combined sum — the object-store tile layout
+    twin of cell_pyramid."""
+    from osm2gtfs_spark.functions.geo import quadkey
+    from osm2gtfs_spark.operators.spatial import quadkey_rollup
+
+    stops = tpch.stops(spark, sf_dir)
+    counts = stops.groupBy(quadkey("lat", "lon", 6).alias("qk")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return quadkey_rollup(counts, res=6)

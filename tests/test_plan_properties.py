@@ -78,6 +78,10 @@ GUARDED = {
     "media_context_pairs": 0,
     "moran_i_global": 0,
     "locf_gap_fill": 0,
+    # media_frame_sample carries the sanctioned fake-decode mapInPandas
+    "media_frame_sample": 1,
+    "cell_type_gini": 0,
+    "quadkey_tile_rollup": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

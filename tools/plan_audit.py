@@ -93,6 +93,9 @@ AUDIT = [
     "media_context_pairs",
     "moran_i_global",
     "locf_gap_fill",
+    "media_frame_sample",
+    "cell_type_gini",
+    "quadkey_tile_rollup",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
