@@ -275,8 +275,12 @@ def frame_sample(
         raise ValueError(f"k must be >= 1, got {k}")
     j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j")
     idx = F.expr(f"_j * {frames_col} div {k}").cast("int")
+    # undecodable media (real-path decode yields NULL n_frames) and
+    # zero-frame assets have no frame to extract — emit nothing rather
+    # than a NULL/phantom index (review r5c)
     return (
-        meta.select(*keep_cols, frames_col, j)
+        meta.filter(F.col(frames_col) >= 1)
+        .select(*keep_cols, frames_col, j)
         .select(*keep_cols, idx.alias("frame_idx"))
         .distinct()
     )

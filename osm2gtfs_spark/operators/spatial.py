@@ -247,6 +247,30 @@ def point_in_convex_polygon_sql(vertices: list[tuple[float, float]], lat_expr: s
     return " AND ".join(terms)
 
 
+def _polygon_edges(vertices_col: str = "vertices") -> Column:
+    """Directed edge array of a closed polygon column: each vertex
+    zipped with its successor (array rotated by one). Shared by every
+    vertex-table polygon operator so the ring convention lives in ONE
+    place (review r5c)."""
+    succ = F.concat(
+        F.slice(vertices_col, 2, F.size(vertices_col) - 1),
+        F.slice(vertices_col, 1, 1),
+    )
+    return F.arrays_zip(F.col(vertices_col).alias("v1"), succ.alias("v2"))
+
+
+def _edges_contain(edges: Column, lat: Column, lon: Column) -> Column:
+    """Convex-CCW containment: every directed edge's cross product
+    with the point is >= 0 (boundary inclusive). The IEEE expression
+    is mirrored in the oracle SQL at each gate site."""
+    return F.forall(
+        edges,
+        lambda e: (e["v2"]["lon"] - e["v1"]["lon"]) * (lat - e["v1"]["lat"])
+        - (e["v2"]["lat"] - e["v1"]["lat"]) * (lon - e["v1"]["lon"])
+        >= 0,
+    )
+
+
 def polygon_table_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -282,15 +306,7 @@ def polygon_table_join(
         "_iy", cell_iy(F.col(lat_col), res)
     )
     lat, lon = F.col(lat_col), F.col(lon_col)
-    # rotate the vertex array by one to pair each vertex with its successor
-    succ = F.concat(F.slice("vertices", 2, F.size("vertices") - 1), F.slice("vertices", 1, 1))
-    edges = F.arrays_zip(F.col("vertices").alias("v1"), succ.alias("v2"))
-    inside = F.forall(
-        edges,
-        lambda e: (e["v2"]["lon"] - e["v1"]["lon"]) * (lat - e["v1"]["lat"])
-        - (e["v2"]["lat"] - e["v1"]["lat"]) * (lon - e["v1"]["lon"])
-        >= 0,
-    )
+    inside = _edges_contain(_polygon_edges("vertices"), lat, lon)
     return pts.join(cells, ["_ix", "_iy"]).filter(inside).drop("_ix", "_iy", "vertices")
 
 
@@ -667,11 +683,7 @@ def polygon_stats(
     Scale shape: zero joins, zero shuffles — pure per-row codegen over
     the vertex array; 10^12 polygons stream through map tasks.
     """
-    succ = F.concat(
-        F.slice(vertices_col, 2, F.size(vertices_col) - 1),
-        F.slice(vertices_col, 1, 1),
-    )
-    edges = F.arrays_zip(F.col(vertices_col).alias("v1"), succ.alias("v2"))
+    edges = _polygon_edges(vertices_col)
 
     def _cross(e):
         return e["v1"]["lon"] * e["v2"]["lat"] - e["v2"]["lon"] * e["v1"]["lat"]
@@ -1960,7 +1972,14 @@ def gi_star(
     varp = s2d / nd - mean * mean
     num = sid - mean * wid
     den = F.sqrt(varp * (nd * wid - wid * wid) / (nd - F.lit(1.0)))
-    z = F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(num / den)
+    # n = 1 divides by (nd - 1) = 0 inside den (NULL in Spark, NaN in
+    # DuckDB — review r5c), so the single-occupied-cell raster gets its
+    # own explicit-zero branch ahead of the zero-variance guard
+    z = (
+        F.when(nd == F.lit(1.0), F.lit(0.0))
+        .when(den == F.lit(0.0), F.lit(0.0))
+        .otherwise(num / den)
+    )
     return stats.select(
         cell_col, "n_self", "s_ring", "w_ring", z.alias("gi_z")
     )
@@ -2211,16 +2230,7 @@ def polygon_rasterize(
     )
     clat = (F.col("_iy") + F.lit(0.5)) / F.lit(float(n)) * F.lit(180.0) - F.lit(90.0)
     clon = (F.col("_ix") + F.lit(0.5)) / F.lit(float(n)) * F.lit(360.0) - F.lit(180.0)
-    succ = F.concat(
-        F.slice("vertices", 2, F.size("vertices") - 1), F.slice("vertices", 1, 1)
-    )
-    edges = F.arrays_zip(F.col("vertices").alias("v1"), succ.alias("v2"))
-    inside = F.forall(
-        edges,
-        lambda e: (e["v2"]["lon"] - e["v1"]["lon"]) * (clat - e["v1"]["lat"])
-        - (e["v2"]["lat"] - e["v1"]["lat"]) * (clon - e["v1"]["lon"])
-        >= 0,
-    )
+    inside = _edges_contain(_polygon_edges("vertices"), clat, clon)
     cell = (
         F.lit(res).cast("long") * F.lit(_RES_SHIFT)
         + F.col("_ix").cast("long") * F.lit(_IX_SHIFT)
@@ -2320,7 +2330,6 @@ def moran_i(
 def quadkey_rollup(
     cell_counts: DataFrame,
     res: int,
-    lat_col: str | None = None,
     qk_col: str = "qk",
     value_col: str = "n",
 ) -> DataFrame:

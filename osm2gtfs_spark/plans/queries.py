@@ -173,6 +173,26 @@ def oracle_sql() -> dict[str, str]:
     return {n: _ORACLES[n] for n in _gate_order(list(_QUERIES)) if n in _ORACLES}
 
 
+def _district_polygons(n: DataFrame) -> DataFrame:
+    """(polygon_id, vertices): the 25 district diamonds every polygon
+    gate shares — centers/extents derived from n_nationkey, mirrored
+    verbatim by each gate's oracle CTE. One Spark-side source of truth
+    (review r5c: five copies had to stay in sync with the SQL)."""
+    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
+    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
+    dy = (F.col("n_nationkey") % 5) + 3.0
+    dx = (F.col("n_nationkey") % 7) + 4.0
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("polygon_id"),
+        F.array(
+            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
+            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
+            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
+        ).alias("vertices"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A-family: aggregations
 # ---------------------------------------------------------------------------
@@ -307,19 +327,7 @@ def polygon_table_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2gtfs_spark.operators.spatial import polygon_table_join
 
     n = tpch.load(spark, sf_dir, "nation")
-    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
-    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
-    dy = (F.col("n_nationkey") % 5) + 3.0
-    dx = (F.col("n_nationkey") % 7) + 4.0
-    polygons = n.select(
-        F.col("n_nationkey").cast("long").alias("polygon_id"),
-        F.array(
-            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
-            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
-        ).alias("vertices"),
-    )
+    polygons = _district_polygons(n)
     pts = tpch.stops(spark, sf_dir).select("stop_key", "lat", "lon")
     return polygon_table_join(pts, polygons, res=4).select("stop_key", "polygon_id")
 
@@ -3142,19 +3150,7 @@ def polygon_area_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2gtfs_spark.operators.spatial import polygon_stats
 
     n = tpch.load(spark, sf_dir, "nation")
-    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
-    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
-    dy = (F.col("n_nationkey") % 5) + 3.0
-    dx = (F.col("n_nationkey") % 7) + 4.0
-    polygons = n.select(
-        F.col("n_nationkey").cast("long").alias("polygon_id"),
-        F.array(
-            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
-            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
-        ).alias("vertices"),
-    )
+    polygons = _district_polygons(n)
     out = polygon_stats(polygons, int_scale=1_000_000)
     return out.select(
         "polygon_id",
@@ -4504,19 +4500,7 @@ def zonal_stats_polygons_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2gtfs_spark.operators.spatial import zonal_stats
 
     n = tpch.load(spark, sf_dir, "nation")
-    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
-    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
-    dy = (F.col("n_nationkey") % 5) + 3.0
-    dx = (F.col("n_nationkey") % 7) + 4.0
-    polygons = n.select(
-        F.col("n_nationkey").cast("long").alias("polygon_id"),
-        F.array(
-            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
-            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
-        ).alias("vertices"),
-    )
+    polygons = _district_polygons(n)
     pts = tpch.stops(spark, sf_dir).select(
         "stop_key", "lat", "lon", (F.col("stop_key") % 1000).alias("value")
     )
@@ -4749,7 +4733,8 @@ _GI_RING_SQL = f"""
              CAST(CAST(SUM(n_self * n_self) OVER () AS BIGINT) AS DOUBLE) AS s2d
       FROM r)
     SELECT cell_id, n_self, s_ring, w_ring,
-           CASE WHEN SQRT((s2d / nd - (s1d / nd) * (s1d / nd))
+           CASE WHEN nd = 1.0 THEN 0.0
+                WHEN SQRT((s2d / nd - (s1d / nd) * (s1d / nd))
                           * (nd * CAST(w_ring AS DOUBLE)
                              - CAST(w_ring AS DOUBLE) * CAST(w_ring AS DOUBLE))
                           / (nd - 1.0)) = 0.0
@@ -5068,19 +5053,7 @@ def polygon_fill_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osm2gtfs_spark.operators.spatial import polygon_rasterize
 
     n = tpch.load(spark, sf_dir, "nation")
-    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
-    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
-    dy = (F.col("n_nationkey") % 5) + 3.0
-    dx = (F.col("n_nationkey") % 7) + 4.0
-    polygons = n.select(
-        F.col("n_nationkey").cast("long").alias("polygon_id"),
-        F.array(
-            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
-            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
-        ).alias("vertices"),
-    )
+    polygons = _district_polygons(n)
     return polygon_rasterize(polygons, res=7)
 
 
@@ -5238,19 +5211,7 @@ def geofence_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
     )
     n = tpch.load(spark, sf_dir, "nation")
-    lat0 = ((F.col("n_nationkey") * 31) % 120) - 60 + 0.5
-    lon0 = ((F.col("n_nationkey") * 47) % 300) - 150 + 0.5
-    dy = (F.col("n_nationkey") % 5) + 3.0
-    dx = (F.col("n_nationkey") % 7) + 4.0
-    polygons = n.select(
-        F.col("n_nationkey").cast("long").alias("polygon_id"),
-        F.array(
-            F.struct((lat0 - dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 + dx).alias("lon")),
-            F.struct((lat0 + dy).alias("lat"), lon0.alias("lon")),
-            F.struct(lat0.alias("lat"), (lon0 - dx).alias("lon")),
-        ).alias("vertices"),
-    )
+    polygons = _district_polygons(n)
     out = SE.geofence_stream(pts, polygons, res=4, window="1 hour",
                              watermark="2 hours")
     with tempfile.TemporaryDirectory() as td:
@@ -5305,15 +5266,23 @@ def tile_pyramid_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("user_id") % 180) - 90 + F.col("value") / 1000.0).alias("lat"),
         ((F.col("event_id") % 360) - 180 + F.col("value") / 1000.0).alias("lon"),
     )
+    import shutil
+
     td = tempfile.mkdtemp(prefix="tile_ingest_gate_")
-    TI.tile_ingest_available_now(
-        pts,
-        state_dir=f"{td}/state",
-        checkpoint_dir=f"{td}/ck",
-        res_fine=5,
-        res_coarse=0,
-    )
-    return TI.read_pyramid(spark, f"{td}/state")
+    try:
+        TI.tile_ingest_available_now(
+            pts,
+            state_dir=f"{td}/state",
+            checkpoint_dir=f"{td}/ck",
+            res_fine=5,
+            res_coarse=0,
+        )
+        # sever lineage from the temp state BEFORE deleting it, so the
+        # returned frame survives cleanup (review r5c: mkdtemp leaked a
+        # partials tree per gate run)
+        return TI.read_pyramid(spark, f"{td}/state").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 @register(

@@ -59,14 +59,23 @@ def process_batch(
     """One micro-batch: aggregate the batch's points to the finest
     level, ladder them into pyramid partials, write the partials as
     this batch's partition (dynamic overwrite → idempotent replay).
-    Module-level so replay idempotency is directly testable."""
+    Module-level so replay idempotency is directly testable.
+
+    The dynamic overwrite mode is set PER WRITER (review r5c), not via
+    the session conf: this function is a public replay entry point,
+    and under the session default ``static`` a bare mode("overwrite")
+    would truncate the ENTIRE tiles directory — silently destroying
+    every other batch's partials — instead of replacing just this
+    batch's partition."""
     counts = batch_df.groupBy(
         cell_id(lat_col, lon_col, res_fine).alias("cell_id")
     ).agg(F.count(F.lit(1)).alias("n"))
     partials = cell_pyramid(counts, res_fine=res_fine, res_coarse=res_coarse)
     partials.withColumn("_batch_id", F.lit(batch_id)).write.partitionBy(
         "_batch_id"
-    ).mode("overwrite").parquet(_tiles_path(state_dir))
+    ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(
+        _tiles_path(state_dir)
+    )
 
 
 def read_pyramid(spark: SparkSession, state_dir: str) -> DataFrame | None:
@@ -109,11 +118,10 @@ def tile_ingest_available_now(
     """Drain the bounded point source, writing per-batch pyramid
     partials. Restartable: the stream checkpoint skips processed files
     and a replayed batch overwrites its own partition with an identical
-    recomputation (additive partials need no state read at all)."""
-    spark = stream_df.sparkSession
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
+    recomputation (additive partials need no state read at all). The
+    dynamic overwrite mode rides on each writer (process_batch), so no
+    session conf is mutated — concurrent writes in a shared session
+    keep their own overwrite semantics."""
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         process_batch(
             batch_df,
@@ -125,16 +133,13 @@ def tile_ingest_available_now(
             lon_col=lon_col,
         )
 
-    try:
-        q = (
-            stream_df.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            q.stop()
-            raise TimeoutError(f"tile ingest drain exceeded {timeout_sec}s; stopped")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    q = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(f"tile ingest drain exceeded {timeout_sec}s; stopped")

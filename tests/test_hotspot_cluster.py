@@ -131,3 +131,14 @@ def test_pyramid_parent_child_sums(planted):
         .count()
     )
     assert bad == 0
+
+
+def test_gi_star_single_occupied_cell_is_zero(spark):
+    """Review r5c: n = 1 divides by (n-1) = 0 inside the denominator
+    (NULL in Spark, NaN in DuckDB) — the explicit branch must win."""
+    one = (
+        spark.createDataFrame([(10.0, 10.0, 5)], "lat double, lon double, n long")
+        .select(cell_id("lat", "lon", RES).alias("cell_id"), "n")
+    )
+    row = gi_star(one, res=RES).first()
+    assert row.gi_z == 0.0 and row.n_self == 5

@@ -83,8 +83,6 @@ def test_fill_matches_bruteforce_grid_scan(spark):
 
 
 def test_fill_cap_raises(spark):
-    from py4j.protocol import Py4JJavaError
-
     with pytest.raises(Exception) as ei:
         polygon_rasterize(_diamond(spark, dy=20.0, dx=30.0), res=8, max_cells=10).collect()
     assert "max_cells" in str(ei.value)
