@@ -565,3 +565,40 @@ def cell_mix_gini(
     )
     gini = F.lit(1000) - F.expr("1000 * _s2 div (n * n)")
     return per_cell.select("cell_id", "n", gini.cast("long").alias("gini_permille"))
+
+
+def grid_flow_field(
+    traces: DataFrame,
+    res: int,
+    trace_col: str = "trace_id",
+    seq_col: str = "obs_seq",
+) -> DataFrame:
+    """(cell_id, n, sum_dlat_e6, sum_dlon_e6): the mean-displacement
+    VECTOR field on the cell grid — the quantitative companion to
+    :func:`flow_rose` (which bins direction): each consecutive
+    observation pair contributes its exact micro-degree displacement
+    (floor(d·10^6)) to its origin cell, emitted as (count, sum)
+    partials so the mean vector is one exact client-side division and
+    coarser rollups merge without re-reading traces.
+
+    Same plan as the rose: one per-trace lag window + one grouped sum;
+    zero-displacement holds dropped.
+    """
+    w = Window.partitionBy(trace_col).orderBy(seq_col)
+    steps = traces.select(
+        F.col("lat"),
+        F.col("lon"),
+        F.lag("lat").over(w).alias("_plat"),
+        F.lag("lon").over(w).alias("_plon"),
+    ).filter(F.col("_plat").isNotNull())
+    dlat = F.col("lat") - F.col("_plat")
+    dlon = F.col("lon") - F.col("_plon")
+    moved = steps.filter((dlat != 0) | (dlon != 0))
+    return (
+        moved.groupBy(cell_id(F.col("_plat"), F.col("_plon"), res).alias("cell_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(dlat * F.lit(1000000.0)).cast("long")).alias("sum_dlat_e6"),
+            F.sum(F.floor(dlon * F.lit(1000000.0)).cast("long")).alias("sum_dlon_e6"),
+        )
+    )

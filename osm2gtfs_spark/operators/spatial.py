@@ -2358,3 +2358,74 @@ def quadkey_rollup(
         )
         .agg(F.sum("_v").alias(value_col))
     )
+
+
+def bilinear_splat(
+    points: DataFrame,
+    res: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Anti-aliased density surface: (cell_id, w_permille) — every
+    point splats its unit mass onto the FOUR grid nodes surrounding it
+    with bilinear weights, the standard smooth-raster alternative to
+    nearest-cell binning (no aliasing at cell boundaries; a point on a
+    boundary contributes to both sides proportionally).
+
+    Exact mass conservation in integer arithmetic: the three floored
+    permille corner weights are computed independently and the fourth
+    takes the remainder (1000 − the other three), so every point
+    contributes EXACTLY 1000 permille — Σ w_permille ≡ 1000·|points|,
+    asserted in tests and immune to float drift in the oracle replay
+    (the fractional offsets fx/fy are IEEE-mirrored; the floors make
+    the weights integers before the shuffle).
+
+    Grid convention: node (ix, iy) sits at the CENTER of cell (ix, iy)
+    — fractional position fx = frac(x − 0.5) of the continuous grid
+    coordinate, base node = floor(x − 0.5) clamped/wrapped exactly
+    like :func:`~osm2gtfs_spark.functions.geo.cell_ring` (lon wraps,
+    lat clamps to the grid edge so polar mass stays on the globe).
+    Fanout exactly 4 rows per point, one map-side-combined sum.
+    """
+    from osm2gtfs_spark.functions.geo import _IX_SHIFT, _RES_SHIFT
+
+    n = 2**res
+    x = (F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)) - F.lit(0.5)
+    y = (F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)) - F.lit(0.5)
+    bx = F.floor(x).cast("long")
+    by = F.floor(y).cast("long")
+    fx = x - bx.cast("double")
+    fy = y - by.cast("double")
+    w00 = F.floor((F.lit(1.0) - fx) * (F.lit(1.0) - fy) * F.lit(1000.0)).cast("long")
+    w10 = F.floor(fx * (F.lit(1.0) - fy) * F.lit(1000.0)).cast("long")
+    w01 = F.floor((F.lit(1.0) - fx) * fy * F.lit(1000.0)).cast("long")
+    w11 = F.lit(1000).cast("long") - w00 - w10 - w01  # exact remainder
+    base = points.select(bx.alias("_bx"), by.alias("_by"),
+                         w00.alias("_w00"), w10.alias("_w10"),
+                         w01.alias("_w01"), w11.alias("_w11"))
+    corners = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy"),
+                         F.col("_w00").alias("w")),
+                F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy"),
+                         F.col("_w10").alias("w")),
+                F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy"),
+                         F.col("_w01").alias("w")),
+                F.struct(F.lit(1).alias("dx"), F.lit(1).alias("dy"),
+                         F.col("_w11").alias("w")),
+            )
+        ).alias("_c"),
+        "_bx",
+        "_by",
+    )
+    ny = F.least(F.greatest(F.col("_by") + F.col("_c.dy"), F.lit(0)), F.lit(n - 1))
+    cell = (
+        F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+        + F.pmod(F.col("_bx") + F.col("_c.dx"), F.lit(n)) * F.lit(_IX_SHIFT)
+        + ny.cast("long")
+    )
+    return (
+        corners.groupBy(cell.alias("cell_id"))
+        .agg(F.sum("_c.w").alias("w_permille"))
+    )

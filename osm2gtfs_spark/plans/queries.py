@@ -73,6 +73,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "bilinear_splat_density",
+    "grid_flow_field",
     "media_frame_sample",
     "cell_type_gini",
     "quadkey_tile_rollup",
@@ -5800,3 +5802,90 @@ def quadkey_tile_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return quadkey_rollup(counts, res=6)
+
+
+@register(
+    "bilinear_splat_density",
+    f"""
+    -- anti-aliased density surface: each stop splats 1000 permille of
+    -- mass onto its 4 surrounding res-6 grid nodes (3 floored corner
+    -- weights + exact remainder -> mass conserved exactly)
+    WITH s AS ({tpch.STOPS_SQL}),
+    b AS (SELECT (lon + 180.0) / 360.0 * 64.0 - 0.5 AS x,
+                 (lat + 90.0) / 180.0 * 64.0 - 0.5 AS y
+          FROM s),
+    c AS (SELECT CAST(FLOOR(x) AS BIGINT) AS bx, CAST(FLOOR(y) AS BIGINT) AS by,
+                 x - FLOOR(x) AS fx, y - FLOOR(y) AS fy
+          FROM b),
+    w AS (SELECT bx, by,
+                 CAST(FLOOR((1.0 - fx) * (1.0 - fy) * 1000.0) AS BIGINT) AS w00,
+                 CAST(FLOOR(fx * (1.0 - fy) * 1000.0) AS BIGINT) AS w10,
+                 CAST(FLOOR((1.0 - fx) * fy * 1000.0) AS BIGINT) AS w01
+          FROM c),
+    w2 AS (SELECT *, 1000 - w00 - w10 - w01 AS w11 FROM w),
+    corners AS (
+      SELECT bx + d.dx AS cx, by + d.dy AS cy,
+             CASE WHEN d.dx = 0 AND d.dy = 0 THEN w00
+                  WHEN d.dx = 1 AND d.dy = 0 THEN w10
+                  WHEN d.dx = 0 AND d.dy = 1 THEN w01
+                  ELSE w11 END AS w
+      FROM w2, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS d(dx, dy))
+    SELECT CAST(6 AS BIGINT) * 4503599627370496
+             + ((cx % 64 + 64) % 64) * 67108864
+             + LEAST(GREATEST(cy, 0), 63) AS cell_id,
+           CAST(SUM(w) AS BIGINT) AS w_permille
+    FROM corners GROUP BY 1
+    """,
+)
+def bilinear_splat_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear splat raster (operators/spatial.bilinear_splat): 4-way
+    corner scatter with exact integer mass conservation (3 floors +
+    remainder); lon wraps, lat clamps — same conventions as
+    cell_ring."""
+    from osm2gtfs_spark.operators.spatial import bilinear_splat
+
+    stops = tpch.stops(spark, sf_dir)
+    return bilinear_splat(stops, res=6)
+
+
+@register(
+    "grid_flow_field",
+    f"""
+    -- mean-displacement vector field: micro-degree (count, sum)
+    -- partials per origin cell from consecutive trace observations
+    WITH tr AS (
+      SELECT c_custkey % 100 AS trace_id, c_custkey // 100 AS obs_seq,
+             {tpch.derived_lat_sql('c_custkey')} AS lat,
+             {tpch.derived_lon_sql('c_custkey')} AS lon
+      FROM customer),
+    st AS (
+      SELECT lat, lon,
+             lag(lat) OVER (PARTITION BY trace_id ORDER BY obs_seq) AS plat,
+             lag(lon) OVER (PARTITION BY trace_id ORDER BY obs_seq) AS plon
+      FROM tr),
+    mv AS (SELECT * FROM st
+           WHERE plat IS NOT NULL AND (lat - plat <> 0 OR lon - plon <> 0))
+    SELECT {cell_id_sql('plat', 'plon', 5)} AS cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR((lat - plat) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_dlat_e6,
+           CAST(SUM(CAST(FLOOR((lon - plon) * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_dlon_e6
+    FROM mv GROUP BY 1
+    """,
+)
+def grid_flow_field_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector flow field (operators/mobility.grid_flow_field): the
+    quantitative companion to flow_rose — exact micro-degree
+    displacement partials per origin cell."""
+    from osm2gtfs_spark.operators.mobility import grid_flow_field
+
+    cust = tpch.load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    traces = cust.select(
+        (k % 100).alias("trace_id"),
+        F.expr("c_custkey div 100").alias("obs_seq"),
+        tpch.derived_lat("c_custkey").alias("lat"),
+        tpch.derived_lon("c_custkey").alias("lon"),
+    )
+    return grid_flow_field(traces, res=5)

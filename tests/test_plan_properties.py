@@ -82,6 +82,8 @@ GUARDED = {
     "media_frame_sample": 1,
     "cell_type_gini": 0,
     "quadkey_tile_rollup": 0,
+    "bilinear_splat_density": 0,
+    "grid_flow_field": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

@@ -96,6 +96,8 @@ AUDIT = [
     "media_frame_sample",
     "cell_type_gini",
     "quadkey_tile_rollup",
+    "bilinear_splat_density",
+    "grid_flow_field",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
