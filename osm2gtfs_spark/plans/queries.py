@@ -73,6 +73,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "cdc_snapshot_stream",
+    "cdc_apply_changeset",
     "bilinear_splat_density",
     "grid_flow_field",
     "media_frame_sample",
@@ -5889,3 +5891,90 @@ def grid_flow_field_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tpch.derived_lon("c_custkey").alias("lon"),
     )
     return grid_flow_field(traces, res=5)
+
+
+_CDC_FINAL_SQL = """
+    -- final snapshot: every 10th doc (k%10=7) deleted; k%10=3 docs
+    -- upserted to 'v2 '||text at seq 1 then k%100=3 re-upserted to
+    -- 'v3 '||text at seq 2 (LAST change to a key wins)
+    SELECT doc_id,
+           CASE WHEN doc_id % 100 = 3 THEN 'v3 ' || text
+                WHEN doc_id % 10 = 3 THEN 'v2 ' || text
+                ELSE text END AS text,
+           lang, source, n_chars
+    FROM documents
+    WHERE doc_id % 10 <> 7
+"""
+
+
+def _cdc_changes(d: DataFrame) -> DataFrame:
+    """The synthetic OSM-style changeset over the documents base:
+    upserts (two versions for k%100=3 keys — intra-batch seq ordering)
+    and delete tombstones. Spark twin of _CDC_FINAL_SQL's CASE."""
+    v2 = (
+        d.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    v3 = (
+        d.filter(F.col("doc_id") % 100 == 3)
+        .withColumn("text", F.concat(F.lit("v3 "), F.col("text")))
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    dels = (
+        d.filter(F.col("doc_id") % 10 == 7)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("delete"))
+    )
+    return v2.unionByName(v3).unionByName(dels)
+
+
+@register("cdc_apply_changeset", _CDC_FINAL_SQL)
+def cdc_apply_changeset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (streaming/cdc.apply_changeset): last-change-wins
+    key election (one max-struct aggregate) + anti join + union — the
+    plain-DataFrame MERGE INTO; base is never rewritten per change."""
+    from osm2gtfs_spark.streaming.cdc import apply_changeset
+
+    d = tpch.load(spark, sf_dir, "documents")
+    return apply_changeset(d, _cdc_changes(d), key_col="doc_id")
+
+
+@register("cdc_snapshot_stream", _CDC_FINAL_SQL)
+def cdc_snapshot_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingest (streaming/cdc): the upsert changes drain
+    through foreachBatch into a DELTA partition (merge-on-read layout);
+    the delete tombstones land as a SECOND delta partition via a direct
+    process_batch call (the replay entry point), so read_snapshot must
+    resolve latest-wins ACROSS partitions and drop tombstones. The
+    snapshot hash-matches the batch MERGE truth."""
+    import shutil
+    import tempfile
+
+    from osm2gtfs_spark.streaming import cdc as CDC
+
+    d = tpch.load(spark, sf_dir, "documents")
+    base_cols = d.columns
+    d_stream = (
+        spark.readStream.schema(d.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    ups = _cdc_changes(d_stream).filter(F.col("op") == "upsert")
+    dels = _cdc_changes(d).filter(F.col("op") == "delete")
+    td = tempfile.mkdtemp(prefix="cdc_gate_")
+    try:
+        CDC.cdc_upsert_available_now(
+            ups,
+            state_dir=f"{td}/state",
+            checkpoint_dir=f"{td}/ck",
+            base_columns=base_cols,
+        )
+        CDC.process_batch(dels, 1000, f"{td}/state", base_cols)
+        snap = CDC.read_snapshot(spark, d, f"{td}/state", key_col="doc_id")
+        return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

@@ -84,6 +84,9 @@ GUARDED = {
     "quadkey_tile_rollup": 0,
     "bilinear_splat_density": 0,
     "grid_flow_field": 0,
+    # cdc_snapshot_stream is NOT guarded: it drains a stream at
+    # construction (same exclusion as the other streaming gates)
+    "cdc_apply_changeset": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

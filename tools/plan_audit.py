@@ -98,6 +98,7 @@ AUDIT = [
     "quadkey_tile_rollup",
     "bilinear_splat_density",
     "grid_flow_field",
+    "cdc_apply_changeset",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
