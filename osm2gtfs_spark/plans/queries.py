@@ -73,6 +73,7 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "cdc_changes_feed",
     "cdc_snapshot_stream",
     "cdc_apply_changeset",
     "bilinear_splat_density",
@@ -5976,5 +5977,54 @@ def cdc_snapshot_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         CDC.process_batch(dels, 1000, f"{td}/state", base_cols)
         snap = CDC.read_snapshot(spark, d, f"{td}/state", key_col="doc_id")
         return snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "cdc_changes_feed",
+    """
+    -- incremental changes feed between the base version and the head
+    -- snapshot: k%10=3 updated (v2/v3 text), k%10=7 deleted, and one
+    -- synthetic insert per k%100=11 key (key + 1000000)
+    SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 'deleted'
+                        ELSE 'updated' END AS change
+    FROM documents WHERE doc_id % 10 IN (3, 7)
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, 'inserted' AS change
+    FROM documents WHERE doc_id % 100 = 11
+    """,
+)
+def cdc_changes_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot changes feed (streaming/cdc.
+    snapshot_changes): two TIME-TRAVEL reads (batch-id partition
+    filters prune delta files at the scan) + one full-outer key join
+    with null-safe payload comparison — inserted/updated/deleted
+    classification a downstream consumer reads instead of re-diffing
+    snapshots."""
+    import shutil
+    import tempfile
+
+    from osm2gtfs_spark.streaming import cdc as CDC
+
+    d = tpch.load(spark, sf_dir, "documents")
+    cols = d.columns
+    inserts = (
+        d.filter(F.col("doc_id") % 100 == 11)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.lit("brand new"))
+        .withColumn("seq", F.lit(3).cast("long"))
+        .withColumn("op", F.lit("upsert"))
+    )
+    ups = _cdc_changes(d).filter(F.col("op") == "upsert").unionByName(inserts)
+    dels = _cdc_changes(d).filter(F.col("op") == "delete")
+    td = tempfile.mkdtemp(prefix="cdc_feed_gate_")
+    try:
+        CDC.process_batch(ups, 0, f"{td}/state", cols)
+        CDC.process_batch(dels, 1, f"{td}/state", cols)
+        feed = CDC.snapshot_changes(
+            spark, d, f"{td}/state", key_col="doc_id", from_batch=-1
+        )
+        return feed.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(td, ignore_errors=True)

@@ -118,12 +118,17 @@ def read_snapshot(
     key_col: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    as_of_batch: int | None = None,
 ) -> DataFrame:
-    """The current snapshot: base ⊎ all delta partitions resolved by
-    per-key LATEST-WINS — max(struct(_batch_id, seq)) elects each key's
-    final state in one combine-friendly aggregate (base rows rank below
-    every delta), then tombstones drop. Missing delta directory (no
-    drain yet) reads as the base unchanged."""
+    """The snapshot as of ``as_of_batch`` (TIME TRAVEL: only delta
+    partitions with ``_batch_id <= as_of_batch`` participate; ``None``
+    = latest): base ⊎ the visible delta partitions resolved by per-key
+    LATEST-WINS — max(struct(_batch_id, seq)) elects each key's final
+    state in one combine-friendly aggregate (base rows rank below
+    every delta), then tombstones drop. The batch-id filter is a
+    PARTITION filter, so time travel prunes delta files at the scan —
+    the same mechanics as an Iceberg snapshot read. Missing delta
+    directory (no drain yet) reads as the base unchanged."""
     payload = [c for c in base.columns]
     try:
         deltas = spark.read.schema(_delta_schema(base, seq_col, op_col)).parquet(
@@ -133,6 +138,8 @@ def read_snapshot(
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return base
         raise
+    if as_of_batch is not None:
+        deltas = deltas.filter(F.col("_batch_id") <= as_of_batch)
     tagged_base = base.select(
         key_col,
         F.lit(-1).alias("_b"),
@@ -212,3 +219,45 @@ def cdc_upsert_available_now(
     if not finished:
         q.stop()
         raise TimeoutError(f"cdc drain exceeded {timeout_sec}s; stopped")
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    base: DataFrame,
+    state_dir: str,
+    key_col: str,
+    from_batch: int,
+    to_batch: int | None = None,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental changes feed between two snapshot versions:
+    (key, change) with ``change`` ∈ {inserted, updated, deleted} for
+    every key whose resolved state differs between the ``from_batch``
+    and ``to_batch`` snapshots — what a downstream consumer reads
+    instead of re-diffing full snapshots itself (the keyed twin of
+    :func:`~osm2gtfs_spark.operators.spatial.tile_snapshot_diff`).
+
+    Two time-travel reads + one full-outer key join; "updated" is
+    payload inequality on present-in-both keys (null-safe struct
+    comparison). Both reads prune delta partitions at the scan, and at
+    production scale both sides are the SAME bucketed layout, so the
+    join is bucket-local."""
+    payload = [c for c in base.columns if c != key_col]
+    old_s = read_snapshot(
+        spark, base, state_dir, key_col, seq_col, op_col, as_of_batch=from_batch
+    ).select(key_col, F.struct(*payload).alias("_old"))
+    new_s = read_snapshot(
+        spark, base, state_dir, key_col, seq_col, op_col, as_of_batch=to_batch
+    ).select(key_col, F.struct(*payload).alias("_new"))
+    joined = old_s.join(new_s, key_col, "full")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("inserted"))
+        .when(F.col("_new").isNull(), F.lit("deleted"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("updated"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(key_col, "change")
+    )

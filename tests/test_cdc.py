@@ -55,20 +55,23 @@ def test_read_snapshot_resolves_across_partitions(spark, tmp_path):
 
 
 def test_cdc_replay_idempotent_under_static_mode(spark, tmp_path):
-    assert (
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
-        == "static"
-    )
-    base = _base(spark)
-    state = str(tmp_path / "state")
-    cols = base.columns
-    CDC.process_batch(_ch(spark, [(1, "x", 1, 1, "upsert")]), 0, state, cols)
-    CDC.process_batch(_ch(spark, [(2, "y", 2, 1, "upsert")]), 1, state, cols)
-    once = {r.k: r.v for r in CDC.read_snapshot(spark, base, state, "k").collect()}
-    # replay batch 0: batch 1's delta partition must survive
-    CDC.process_batch(_ch(spark, [(1, "x", 1, 1, "upsert")]), 0, state, cols)
-    twice = {r.k: r.v for r in CDC.read_snapshot(spark, base, state, "k").collect()}
-    assert once == twice == {1: "x", 2: "y", 3: "c"}
+    # FORCE static (other suite tests may leave the shared session at
+    # dynamic): the per-writer option must win regardless
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        base = _base(spark)
+        state = str(tmp_path / "state")
+        cols = base.columns
+        CDC.process_batch(_ch(spark, [(1, "x", 1, 1, "upsert")]), 0, state, cols)
+        CDC.process_batch(_ch(spark, [(2, "y", 2, 1, "upsert")]), 1, state, cols)
+        once = {r.k: r.v for r in CDC.read_snapshot(spark, base, state, "k").collect()}
+        # replay batch 0: batch 1's delta partition must survive
+        CDC.process_batch(_ch(spark, [(1, "x", 1, 1, "upsert")]), 0, state, cols)
+        twice = {r.k: r.v for r in CDC.read_snapshot(spark, base, state, "k").collect()}
+        assert once == twice == {1: "x", 2: "y", 3: "c"}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def test_compact_snapshot_equals_merge_on_read(spark, tmp_path):
@@ -89,3 +92,41 @@ def test_compact_snapshot_equals_merge_on_read(spark, tmp_path):
         for r in CDC.read_snapshot(spark, base, state, "k").collect()
     }
     assert compacted == live and 3 not in compacted and compacted[5] == ("e", 50)
+
+
+def test_time_travel_reads_prior_versions(spark, tmp_path):
+    base = _base(spark)
+    state = str(tmp_path / "state")
+    cols = base.columns
+    CDC.process_batch(_ch(spark, [(1, "x", 1, 1, "upsert")]), 0, state, cols)
+    CDC.process_batch(_ch(spark, [(1, None, 0, 1, "delete")]), 1, state, cols)
+    v_base = {r.k: r.v for r in CDC.read_snapshot(spark, base, state, "k", as_of_batch=-1).collect()}
+    v0 = {r.k: r.v for r in CDC.read_snapshot(spark, base, state, "k", as_of_batch=0).collect()}
+    v1 = {r.k: r.v for r in CDC.read_snapshot(spark, base, state, "k").collect()}
+    assert v_base == {1: "a", 2: "b", 3: "c"}
+    assert v0 == {1: "x", 2: "b", 3: "c"}
+    assert v1 == {2: "b", 3: "c"}
+
+
+def test_snapshot_changes_classification(spark, tmp_path):
+    base = _base(spark)
+    state = str(tmp_path / "state")
+    cols = base.columns
+    CDC.process_batch(
+        _ch(
+            spark,
+            [
+                (1, "a", 10, 1, "upsert"),   # no-op rewrite: same payload
+                (2, "b2", 21, 1, "upsert"),  # update
+                (3, None, 0, 1, "delete"),   # delete
+                (9, "new", 90, 1, "upsert"), # insert
+            ],
+        ),
+        0, state, cols,
+    )
+    feed = {
+        r.k: r.change
+        for r in CDC.snapshot_changes(spark, base, state, "k", from_batch=-1).collect()
+    }
+    # identical-payload rewrite of key 1 is NOT a change
+    assert feed == {2: "updated", 3: "deleted", 9: "inserted"}

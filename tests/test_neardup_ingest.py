@@ -11,9 +11,25 @@ sequential batch replay, and restart/idempotency."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from osm2gtfs_spark.operators import dedup as DD
 from osm2gtfs_spark.streaming import ingest as ING
+
+
+@pytest.fixture(name="dyn_mode")
+def _dyn_mode_fixture(spark):
+    """Set dynamic partition-overwrite for one test and RESTORE after —
+    an unrestored set leaks into later tests asserting the static
+    default (found by the full-suite run)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+
+    def _set(s):
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    yield _set
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
 
 
 def _doc(i: int) -> str:
@@ -75,7 +91,7 @@ def test_neardup_ingest_matches_sequential_replay(spark, tmp_path):
     assert {100, 101, 102, 103, 104, 200, 201, 202, 250, 300} <= got
 
 
-def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path, dyn_mode):
     """Review r5: foreachBatch is at-least-once — a REPLAYED batch
     (same batch_id, state writes already committed) must reproduce the
     identical partitions, not re-check against its own prior output
@@ -85,7 +101,7 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
     base = spark.createDataFrame([(0, _doc(0))], "doc_id long, text string")
     state = str(tmp_path / "state")
     ING.seed_state(base, state)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    dyn_mode(spark)
     b1 = spark.createDataFrame(
         [(10, _doc(10)), (11, _doc(11)), (12, _doc(0))], "doc_id long, text string"
     )
@@ -103,14 +119,14 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
     assert final == {10, 11}, "dup of a batch-0 admit must be rejected in batch 1"
 
 
-def test_neardup_ingest_empty_first_batch_state_readable(spark, tmp_path):
+def test_neardup_ingest_empty_first_batch_state_readable(spark, tmp_path, dyn_mode):
     """Review r5: a first batch that admits NOTHING creates the state
     dir with only _SUCCESS; subsequent batches must read it as empty
     (explicit schema), not crash parquet inference."""
     base = spark.createDataFrame([(0, _doc(0))], "doc_id long, text string")
     state = str(tmp_path / "state")
     ING.seed_state(base, state)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    dyn_mode(spark)
     all_dups = spark.createDataFrame([(10, _doc(0))], "doc_id long, text string")
     ING.process_batch(all_dups, 0, base, state)  # admits nothing
     novel = spark.createDataFrame([(20, _doc(20))], "doc_id long, text string")

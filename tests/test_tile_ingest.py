@@ -77,10 +77,17 @@ def test_replayed_batch_is_idempotent_under_static_session_mode(spark, tmp_path)
     # session default 'static' a bare overwrite would truncate every
     # other batch's partition — replay both batches and re-replay one
     state = str(tmp_path / "state")
-    assert (
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static").lower()
-        == "static"
-    )
+    # FORCE static for the duration (other suite tests may leave the
+    # shared session at dynamic): the per-writer option must win
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        _run_static_replay(spark, state)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _run_static_replay(spark, state):
     TI.process_batch(_points(spark, 0.0, 300), 0, state, res_fine=RES)
     TI.process_batch(_points(spark, 1.0, 200), 1, state, res_fine=RES)
     once = {
