@@ -150,3 +150,107 @@ def distinct_buckets(
         F.countDistinct(bucket).alias("occupied_buckets"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int,
+    quantiles_permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Mergeable histogram quantiles — the SCALE path paired with the
+    exact :func:`grouped_quantiles` (the same pairing discipline as
+    fast-minhash vs md5-minhash): values bucket to
+    ``floor(v / bucket_width)``, and the q‰ quantile is reported as
+    the LOWER EDGE of the bucket holding the ceil(q·n/1000)-th value —
+    deterministic, engine-independent, error bounded by one
+    ``bucket_width``.
+
+    Why at 10^12 rows: the exact operator sorts each group inside a
+    window (state = the group's rows); this one keeps ≤ |buckets|
+    counters per group, combines map-side, and the bucket table is
+    MERGEABLE across partitions, days, or tables — add the counts, the
+    quantiles still resolve. Output one row per (group, q‰):
+    (group, q_permille, n, bucket_lo).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    if not quantiles_permille or any(not 0 < q <= 1000 for q in quantiles_permille):
+        raise ValueError(f"quantiles must be in (0, 1000]: {quantiles_permille}")
+    b = F.expr(f"{value_col} div {bucket_width}").alias("_b")
+    hist = df.groupBy(F.col(group_col), b).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(wn)
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q).cast("long") for q in quantiles_permille])
+    ).alias("q_permille")
+    # target rank = ceil(q*n/1000) in pure integer arithmetic
+    ranked = cum.select(group_col, "_b", "_c", "_cum", "_n", qs).withColumn(
+        "_target", F.expr("(q_permille * _n + 999) div 1000")
+    )
+    # the quantile bucket: smallest _b whose cumulative count reaches
+    # the target — min over qualifying buckets, one combine-friendly agg
+    hit = ranked.filter(F.col("_cum") >= F.col("_target"))
+    return (
+        hit.groupBy(group_col, "q_permille")
+        .agg(F.min("_b").alias("_qb"), F.max("_n").alias("n"))
+        .select(
+            group_col,
+            "q_permille",
+            "n",
+            (F.col("_qb") * bucket_width).alias("bucket_lo"),
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    support_permille: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Frequent items above a support threshold — the two-pass
+    bucket-prefilter plan for UNBOUNDED key domains: pass 1 hashes
+    keys into ``n_buckets`` md5-prefix buckets and keeps only buckets
+    whose TOTAL count could contain a frequent key (a key's count
+    never exceeds its bucket's count, so no frequent key is lost —
+    no false negatives, same guarantee direction as LSH candidate
+    banding); pass 2 counts exactly, but only rows whose bucket
+    survived, then applies the exact threshold.
+
+    Output (key, n_key, n_total) for keys with
+    ``n_key ≥ ceil(support_permille·n_total/1000)``. At 10^12 rows
+    with billions of distinct keys, pass 1 state is ≤ n_buckets
+    counters per partition and pass 2's shuffle carries only the hot
+    buckets' rows — a plain groupBy-then-HAVING shuffles every
+    distinct key.
+    """
+    if not 1 <= support_permille <= 1000:
+        raise ValueError(f"support_permille must be in [1,1000]: {support_permille}")
+    hexc = max(1, (n_buckets.bit_length() + 3) // 4)
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, hexc)
+    total = df.count()
+    threshold = (support_permille * total + 999) // 1000
+    hot = (
+        df.groupBy(bucket.alias("_bk"))
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .filter(F.col("_bc") >= threshold)
+        .select("_bk")
+    )
+    candidates = df.select(F.col(key_col), bucket.alias("_bk")).join(hot, "_bk")
+    return (
+        candidates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_key"))
+        .filter(F.col("n_key") >= threshold)
+        .withColumn("n_total", F.lit(total).cast("long"))
+    )

@@ -73,6 +73,8 @@ def register(name: str, sql: str | None = None):
 # stay in-repo as evidence).
 _GATE_PRIORITY: list[str] = [
     # round 5 third session (newest first — driver-certified nowhere yet)
+    "histogram_quantiles_scale",
+    "heavy_hitters_keys",
     "cdc_changes_feed",
     "cdc_snapshot_stream",
     "cdc_apply_changeset",
@@ -6028,3 +6030,74 @@ def cdc_changes_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return feed.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+@register(
+    "histogram_quantiles_scale",
+    """
+    -- mergeable histogram quantiles (the bounded-state scale path
+    -- paired with exact grouped_quantiles): bucket width 100, q-th
+    -- value's bucket lower edge per returnflag
+    WITH h AS (
+      SELECT l_returnflag AS grp, l_partkey // 100 AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT grp, b, c,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY b) AS BIGINT) AS cumc,
+             CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM h),
+    q AS (
+      SELECT cum.*, CAST(qq.q AS BIGINT) AS q_permille
+      FROM cum, (VALUES (500), (900), (990)) AS qq(q)),
+    hit AS (
+      SELECT grp, q_permille, n, b
+      FROM q WHERE cumc >= (q_permille * n + 999) // 1000)
+    SELECT grp, q_permille, MAX(n) AS n, MIN(b) * 100 AS bucket_lo
+    FROM hit GROUP BY grp, q_permille
+    """,
+)
+def histogram_quantiles_scale_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantiles (operators/aggregates.histogram_quantiles):
+    <= |buckets| counters per group, map-side combined and MERGEABLE
+    across partitions/snapshots — the 10^12-row path where the exact
+    per-group sort window cannot hold the group."""
+    from osm2gtfs_spark.operators.aggregates import histogram_quantiles
+
+    li = tpch.load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_partkey"
+    )
+    return histogram_quantiles(
+        li, "grp", "l_partkey", bucket_width=100,
+        quantiles_permille=(500, 900, 990),
+    )
+
+
+@register(
+    "heavy_hitters_keys",
+    """
+    -- frequent items at 50 permille support over a skewed key
+    -- (least(l_orderkey % 100, 10): value 10 carries ~90% of rows)
+    WITH k AS (SELECT LEAST(l_orderkey % 100, 10) AS key FROM lineitem),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM k)
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS n_key, t.total AS n_total
+    FROM k, t
+    GROUP BY key, t.total
+    HAVING COUNT(*) >= (50 * t.total + 999) // 1000
+    """,
+)
+def heavy_hitters_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (operators/aggregates.heavy_hitters): two-pass
+    bucket prefilter — pass 1 keeps md5-prefix buckets whose TOTAL
+    could hold a frequent key (no false negatives, LSH-banding
+    guarantee direction), pass 2 counts exactly on surviving rows
+    only. The plain HAVING oracle replays the semantics; the plan
+    difference is the point (bounded pass-1 state vs every distinct
+    key shuffled). Executes a count at construction (the scalar
+    threshold) — excluded from lazy plan guards."""
+    from osm2gtfs_spark.operators.aggregates import heavy_hitters
+
+    li = tpch.load(spark, sf_dir, "lineitem").select(
+        F.least(F.col("l_orderkey") % 100, F.lit(10)).alias("key")
+    )
+    return heavy_hitters(li, "key", support_permille=50)

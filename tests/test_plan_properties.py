@@ -84,9 +84,11 @@ GUARDED = {
     "quadkey_tile_rollup": 0,
     "bilinear_splat_density": 0,
     "grid_flow_field": 0,
-    # cdc_snapshot_stream is NOT guarded: it drains a stream at
-    # construction (same exclusion as the other streaming gates)
+    # cdc_snapshot_stream / cdc_changes_feed are NOT guarded (stream
+    # drain / direct state writes at construction); heavy_hitters_keys
+    # is NOT guarded (scalar count action at construction)
     "cdc_apply_changeset": 0,
+    "histogram_quantiles_scale": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:

@@ -99,6 +99,7 @@ AUDIT = [
     "bilinear_splat_density",
     "grid_flow_field",
     "cdc_apply_changeset",
+    "histogram_quantiles_scale",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
