@@ -173,13 +173,34 @@ def histogram_quantiles(
     MERGEABLE across partitions, days, or tables — add the counts, the
     quantiles still resolve. Output one row per (group, q‰):
     (group, q_permille, n, bucket_lo).
+
+    NULL values are excluded (same dialect decision as
+    :func:`grouped_quantiles`/``grouped_median``: Spark sorts NULLs
+    first, DuckDB last — an unfiltered NULL shifts ranks differently
+    per engine AND breaks the one-width error bound). Bucketing is
+    true FLOOR division (exact integer form ``(v − pmod(v, w)) div
+    w``), so negative values get their genuine lower edge — Spark's
+    ``div`` truncates toward zero, which would both violate the edge
+    contract and diverge from DuckDB's floor ``//`` on negatives.
     """
     if bucket_width < 1:
         raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
-    if not quantiles_permille or any(not 0 < q <= 1000 for q in quantiles_permille):
-        raise ValueError(f"quantiles must be in (0, 1000]: {quantiles_permille}")
-    b = F.expr(f"{value_col} div {bucket_width}").alias("_b")
-    hist = df.groupBy(F.col(group_col), b).agg(F.count(F.lit(1)).alias("_c"))
+    if (
+        not quantiles_permille
+        or any(not isinstance(q, int) for q in quantiles_permille)
+        or any(not 0 < q <= 1000 for q in quantiles_permille)
+    ):
+        # reject non-integers loudly: silently truncating 999.5 -> 999
+        # would answer a different question (grouped_quantiles rule)
+        raise ValueError(f"quantiles must be ints in (0, 1000]: {quantiles_permille}")
+    b = F.expr(
+        f"({value_col} - pmod({value_col}, {bucket_width})) div {bucket_width}"
+    ).alias("_b")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col), b)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy("_b")
@@ -230,27 +251,46 @@ def heavy_hitters(
 
     Output (key, n_key, n_total) for keys with
     ``n_key ≥ ceil(support_permille·n_total/1000)``. At 10^12 rows
-    with billions of distinct keys, pass 1 state is ≤ n_buckets
-    counters per partition and pass 2's shuffle carries only the hot
-    buckets' rows — a plain groupBy-then-HAVING shuffles every
-    distinct key.
+    with billions of distinct keys, pass 1 state is bounded by the
+    bucket count (``n_buckets`` rounded UP to the next power of 16 —
+    the bucket id is an md5 hex prefix) and pass 2's shuffle carries
+    only the hot buckets' rows — a plain groupBy-then-HAVING shuffles
+    every distinct key.
+
+    Fully LAZY: the threshold derives from the pass-1 histogram's own
+    total via an unpartitioned window over the BUCKET table (≤ 16^h
+    rows — bounded metadata, the corpus_stats argument), never a
+    separate count action or third scan. NULL keys participate: the
+    bucket hash coalesces NULL to a sentinel so a frequent NULL key is
+    found like any other (md5(NULL) is NULL and a NULL bucket would
+    silently fall out of the pass-2 equi join — the false negative the
+    docale guarantee forbids).
     """
     if not 1 <= support_permille <= 1000:
         raise ValueError(f"support_permille must be in [1,1000]: {support_permille}")
-    hexc = max(1, (n_buckets.bit_length() + 3) // 4)
-    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, hexc)
-    total = df.count()
-    threshold = (support_permille * total + 999) // 1000
-    hot = (
-        df.groupBy(bucket.alias("_bk"))
-        .agg(F.count(F.lit(1)).alias("_bc"))
-        .filter(F.col("_bc") >= threshold)
-        .select("_bk")
+    hexc = max(1, ((n_buckets - 1).bit_length() + 3) // 4)
+    # prefix real keys so the NULL token cannot collide with a real
+    # key's string form
+    key_str = F.coalesce(
+        F.concat(F.lit("k:"), F.col(key_col).cast("string")), F.lit("null:")
     )
+    bucket = F.substring(F.md5(key_str), 1, hexc)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hist = df.groupBy(bucket.alias("_bk")).agg(F.count(F.lit(1)).alias("_bc"))
+    hist = hist.withColumn("_total", F.sum("_bc").over(w_all)).withColumn(
+        "_thr", F.expr(f"({support_permille} * _total + 999) div 1000")
+    )
+    hot = hist.filter(F.col("_bc") >= F.col("_thr")).select("_bk", "_total", "_thr")
     candidates = df.select(F.col(key_col), bucket.alias("_bk")).join(hot, "_bk")
     return (
         candidates.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("n_key"))
-        .filter(F.col("n_key") >= threshold)
-        .withColumn("n_total", F.lit(total).cast("long"))
+        .agg(
+            F.count(F.lit(1)).alias("n_key"),
+            F.max("_total").alias("n_total"),
+            F.max("_thr").alias("_thr"),
+        )
+        .filter(F.col("n_key") >= F.col("_thr"))
+        .select(key_col, "n_key", "n_total")
     )

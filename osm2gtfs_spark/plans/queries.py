@@ -5284,10 +5284,13 @@ def tile_pyramid_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             res_fine=5,
             res_coarse=0,
         )
+        merged = TI.read_pyramid(spark, f"{td}/state")
+        if merged is None:  # zero-batch drain: fail loudly, not AttributeError
+            raise ValueError("tile ingest drain produced no state")
         # sever lineage from the temp state BEFORE deleting it, so the
         # returned frame survives cleanup (review r5c: mkdtemp leaked a
         # partials tree per gate run)
-        return TI.read_pyramid(spark, f"{td}/state").localCheckpoint(eager=True)
+        return merged.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(td, ignore_errors=True)
 
@@ -5988,12 +5991,13 @@ def cdc_snapshot_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     -- incremental changes feed between the base version and the head
     -- snapshot: k%10=3 updated (v2/v3 text), k%10=7 deleted, and one
-    -- synthetic insert per k%100=11 key (key + 1000000)
+    -- synthetic insert per k%100=11 key (key -(k+1): negative ids are
+    -- provably disjoint from the non-negative base at ANY scale)
     SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 'deleted'
                         ELSE 'updated' END AS change
     FROM documents WHERE doc_id % 10 IN (3, 7)
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, 'inserted' AS change
+    SELECT -(doc_id + 1) AS doc_id, 'inserted' AS change
     FROM documents WHERE doc_id % 100 = 11
     """,
 )
@@ -6013,7 +6017,7 @@ def cdc_changes_feed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = d.columns
     inserts = (
         d.filter(F.col("doc_id") % 100 == 11)
-        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("doc_id", -(F.col("doc_id") + 1))
         .withColumn("text", F.lit("brand new"))
         .withColumn("seq", F.lit(3).cast("long"))
         .withColumn("op", F.lit("upsert"))
@@ -6093,8 +6097,9 @@ def heavy_hitters_keys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee direction), pass 2 counts exactly on surviving rows
     only. The plain HAVING oracle replays the semantics; the plan
     difference is the point (bounded pass-1 state vs every distinct
-    key shuffled). Executes a count at construction (the scalar
-    threshold) — excluded from lazy plan guards."""
+    key shuffled). Fully lazy: the threshold is an unpartitioned
+    window over the bounded BUCKET table (allowlisted
+    SinglePartition)."""
     from osm2gtfs_spark.operators.aggregates import heavy_hitters
 
     li = tpch.load(spark, sf_dir, "lineitem").select(

@@ -23,6 +23,11 @@ merge-on-read layout an Iceberg table uses for row-level deletes:
 
 Within one batch, ``seq`` orders changes to the same key (last change
 wins — OSM changeset semantics); across batches, ``_batch_id`` orders.
+EQUAL-seq changes to one key are malformed input; the election then
+falls through the struct comparator to the op string ('upsert' >
+'delete') and then the payload — deterministic but arbitrary, so feeds
+must keep (key, seq) unique per batch (documented rather than detected:
+detection would cost an extra aggregate on every batch).
 All arithmetic integer/string — oracle bit-exact.
 """
 
@@ -209,16 +214,9 @@ def cdc_upsert_available_now(
             batch_df, batch_id, state_dir, base_columns, seq_col, op_col
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(f"cdc drain exceeded {timeout_sec}s; stopped")
+    from osm2gtfs_spark.streaming.drain import drain_available_now
+
+    drain_available_now(stream_df, _process, checkpoint_dir, timeout_sec, "cdc")
 
 
 def snapshot_changes(

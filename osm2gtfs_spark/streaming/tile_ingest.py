@@ -133,13 +133,7 @@ def tile_ingest_available_now(
             lon_col=lon_col,
         )
 
-    q = (
-        stream_df.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(timeout_sec)
-    if not finished:
-        q.stop()
-        raise TimeoutError(f"tile ingest drain exceeded {timeout_sec}s; stopped")
+    from osm2gtfs_spark.streaming.drain import drain_available_now
+
+    drain_available_now(stream_df, _process, checkpoint_dir, timeout_sec,
+                        "tile ingest")

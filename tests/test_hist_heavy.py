@@ -65,12 +65,49 @@ def test_heavy_hitters_matches_plain_having(spark):
     assert got == truth and (0, 4000, total) in got
 
 
-def test_heavy_hitters_no_false_negatives_small_buckets(spark):
-    # tiny bucket space forces collisions: colliding buckets inflate
-    # pass-1 counts (more candidates) but never drop a frequent key
-    rows = [(i % 7,) for i in range(700)] + [(999,)] * 300
+def test_heavy_hitters_no_false_negatives_under_forced_collisions(spark):
+    # n_buckets=2 rounds up to 16 hex-prefix buckets; 300 distinct cold
+    # keys >> 16 buckets, so every bucket collides by pigeonhole —
+    # colliding buckets inflate pass-1 counts (more candidates) but
+    # never drop the frequent key
+    rows = [(i,) for i in range(300) for _ in range(2)] + [(999,)] * 400
     df = spark.createDataFrame(rows, "key long")
     got = {r.key for r in heavy_hitters(df, "key", 250, n_buckets=2).collect()}
     assert got == {999}
     with pytest.raises(ValueError):
         heavy_hitters(df, "key", 0)
+
+
+def test_heavy_hitters_frequent_null_key_is_found(spark):
+    # md5(NULL) is NULL; the bucket hash coalesces so the frequent NULL
+    # key survives the pass-2 equi join (review r5c false negative)
+    rows = [(None,)] * 600 + [(i,) for i in range(400)]
+    df = spark.createDataFrame(rows, "key long")
+    out = {r.key: r.n_key for r in heavy_hitters(df, "key", 500).collect()}
+    assert out == {None: 600}
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    # 8 NULLs must not shift ranks (Spark sorts NULLs first, DuckDB
+    # last — the grouped_median dialect rule)
+    rows = [("a", 0), ("a", 10)] + [("a", None)] * 8
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {
+        r.q_permille: r
+        for r in histogram_quantiles(df, "grp", "v", bucket_width=10).collect()
+    }
+    assert out[900].n == 2  # NULLs excluded from the count
+    assert out[900].bucket_lo == 10
+
+
+def test_histogram_quantiles_floor_division_on_negatives(spark):
+    # -15 belongs to bucket [-20, -10): truncating div would claim -10
+    df = spark.createDataFrame([("a", -15)] * 3, "grp string, v long")
+    out = histogram_quantiles(df, "grp", "v", bucket_width=10).collect()
+    assert all(r.bucket_lo == -20 for r in out)
+
+
+def test_histogram_quantiles_rejects_float_permille(spark):
+    df = spark.createDataFrame([("a", 1)], "grp string, v long")
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "grp", "v", 10, quantiles_permille=(999.5,))

@@ -85,10 +85,10 @@ GUARDED = {
     "bilinear_splat_density": 0,
     "grid_flow_field": 0,
     # cdc_snapshot_stream / cdc_changes_feed are NOT guarded (stream
-    # drain / direct state writes at construction); heavy_hitters_keys
-    # is NOT guarded (scalar count action at construction)
+    # drain / direct state writes at construction)
     "cdc_apply_changeset": 0,
     "histogram_quantiles_scale": 0,
+    "heavy_hitters_keys": 0,
 }
 
 # queries whose plan legitimately carries a SinglePartition exchange:
@@ -105,6 +105,9 @@ ALLOW_SINGLE_PARTITION = {
     # moran_i: one-row global aggregate carrying six-integer partition
     # PARTIALS over the per-cell table — same bounded shape
     "moran_i_global",
+    # heavy_hitters: the lazy threshold window runs over the BUCKET
+    # histogram (≤ 16^h rows — bounded metadata, never data rows)
+    "heavy_hitters_keys",
 }
 
 

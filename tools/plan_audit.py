@@ -100,6 +100,7 @@ AUDIT = [
     "grid_flow_field",
     "cdc_apply_changeset",
     "histogram_quantiles_scale",
+    "heavy_hitters_keys",
     # geofence_stream / tile_pyramid_ingest excluded: the gates drain a
     # streaming query at construction (same exclusion as the other
     # streaming gates)
