@@ -36,6 +36,26 @@ from osm2gtfs_spark.functions.geo import (
 )
 
 
+def _map_parallelism_floor(df: DataFrame) -> DataFrame:
+    """Guide §2.5 "input skew": a single unsplittable input (one-row-
+    group parquet, gzip, one tiny file) caps the MAP side of a fanout
+    operator at one task — the explode/sample/sign-test work downstream
+    then runs on one core no matter how many the session has. When the
+    current physical partitioning is below the session's default
+    parallelism, round-robin repartition once BEFORE the fanout (the
+    pre-fanout rows are the narrow side, so this moves the minimum
+    possible bytes). Scale-adaptive: a production-size table scans as
+    many splits, the condition is false, and no exchange is added —
+    the target tracks ``defaultParallelism``, never a constant."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans without an RDD
+        return df
+    return df.repartition(target) if current < target else df
+
+
 def knn_snap(
     points: DataFrame,
     targets: DataFrame,
@@ -388,12 +408,14 @@ def polyline_cell_coverage(
     task); explode → project cell → distinct, one shuffle keyed by
     (segment, cell) with map-side combine. No joins, no window."""
     n = 2**res
-    seg = segments.select(
-        F.col(id_col),
-        F.col(lat1).cast("double").alias("_a1"),
-        F.col(lon1).cast("double").alias("_o1"),
-        F.col(lat2).cast("double").alias("_a2"),
-        F.col(lon2).cast("double").alias("_o2"),
+    seg = _map_parallelism_floor(
+        segments.select(
+            F.col(id_col),
+            F.col(lat1).cast("double").alias("_a1"),
+            F.col(lon1).cast("double").alias("_o1"),
+            F.col(lat2).cast("double").alias("_a2"),
+            F.col(lon2).cast("double").alias("_o2"),
+        )
     )
     chebyshev_cells = F.greatest(
         F.abs(F.col("_o2") - F.col("_o1")) / F.lit(360.0) * F.lit(float(n)),
@@ -513,11 +535,19 @@ def snap_to_polyline(
     cov = polyline_cell_coverage(
         segments, res=res, id_col=seg_key, oversample=oversample, max_steps=max_steps
     )
-    pts = points.select(
+    pts = _map_parallelism_floor(
+        points.select(
+            F.col(point_key),
+            F.col("lat").alias("_p_lat"),
+            F.col("lon").alias("_p_lon"),
+        )
+    ).select(
         F.col(point_key),
-        F.col("lat").alias("_p_lat"),
-        F.col("lon").alias("_p_lon"),
-        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("cell_id"),
+        "_p_lat",
+        "_p_lon",
+        F.explode(cell_ring(cell_id("_p_lat", "_p_lon", res), res, k_ring)).alias(
+            "cell_id"
+        ),
     )
     # a segment crossing several ring cells would duplicate the pair:
     # dedup candidates BEFORE the geometry math (coords ride along —
@@ -1474,7 +1504,9 @@ def _segment_cells(
     # GenerateExec re-evaluates an inline generator child per OUTPUT
     # row, turning the O(cells) construction into O(cells^2) per
     # segment (the same pitfall fixed for minhash shingles in r4)
-    with_cells = seg.select(
+    with_cells = _map_parallelism_floor(
+        seg.select(id_col, f"{p}lat1", f"{p}lon1", f"{p}lat2", f"{p}lon2")
+    ).select(
         id_col, f"{p}lat1", f"{p}lon1", f"{p}lat2", f"{p}lon2",
         cells.alias("_cells"),
     )

@@ -203,9 +203,17 @@ def build_lines(relations: DataFrame) -> tuple[DataFrame, DataFrame]:
         tag("to").alias("to"),
         F.col("tags").alias("v_tags"),
     )
-    j = masters.join(variants, "variant_id", "full_outer")
-    matched = j.filter(F.col("master_id").isNotNull() & F.col("v_ref").isNotNull())
-    masterless = j.filter(F.col("master_id").isNull())
+    # J1 semantics as inner + anti join (optimization r6, guide §3.1):
+    # the full-outer formulation forces a sort-merge join (no broadcast
+    # support for full outer) and a both-sides exchange; splitting into
+    # matched = inner ∧ v_ref present, masterless = variants with no
+    # master reference, is row-identical (the full-outer residuals with
+    # master_id NOT NULL ∧ v_ref NULL were dropped by both branches) and
+    # lets the planner broadcast the dimension-scale master side, which
+    # removes the exchange of the variant side entirely.
+    matched = masters.join(variants, "variant_id").filter(F.col("v_ref").isNotNull())
+    # downstream consumes only variant-side columns from masterless rows
+    masterless = variants.join(masters.select("variant_id"), "variant_id", "left_anti")
     # one line per master (dedup ref: lowest master_id wins — J2 first-wins)
     line_rows = (
         matched.select(
@@ -261,7 +269,9 @@ def build_lines(relations: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         )
         # keep only itineraries whose line survived the ref guard
-        .join(lines.select("line_osm_id"), "line_osm_id")
+        # (broadcast: lines is a bounded dimension — one row per transit
+        # line — the same judgement build_trips already applies)
+        .join(F.broadcast(lines.select("line_osm_id")), "line_osm_id")
         .withColumn("itinerary_id", F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")))
     )
     return lines, itins
