@@ -81,11 +81,17 @@ def knn_snap(
 
     Returns (point_key, nearest_<target_key>, n-best rank).
     """
-    pts = points.select(
+    pts = _map_parallelism_floor(
+        points.select(
+            F.col(point_key),
+            F.col("lat").alias("_p_lat"),
+            F.col("lon").alias("_p_lon"),
+        )
+    ).select(
         F.col(point_key),
-        F.col("lat").alias("_p_lat"),
-        F.col("lon").alias("_p_lon"),
-        F.explode(cell_ring(cell_id("lat", "lon", res), res, k_ring)).alias("_cell"),
+        "_p_lat",
+        "_p_lon",
+        F.explode(cell_ring(cell_id("_p_lat", "_p_lon", res), res, k_ring)).alias("_cell"),
     )
     tgt = targets.select(
         F.col(target_key),
@@ -549,14 +555,20 @@ def snap_to_polyline(
             "cell_id"
         ),
     )
-    # a segment crossing several ring cells would duplicate the pair:
-    # dedup candidates BEFORE the geometry math (coords ride along —
-    # functionally dependent on the point key)
-    cand_keys = (
-        pts.join(cov, "cell_id")
-        .select(point_key, "_p_lat", "_p_lon", seg_key)
-        .distinct()
+    # a segment crossing several ring cells duplicates the (point, seg)
+    # pair. For the argmin path (n_neighbors == 1) duplicates are
+    # HARMLESS — min over a multiset equals min over its set, and the
+    # duplicated rows carry identical (_d, t) — so skipping the
+    # distinct removes a full candidate-cardinality exchange
+    # (optimization r6, guide §2.4): the only exchange left is the
+    # map-side-combined min(struct) aggregate, which carries one row
+    # per (point, map partition). The ranked path (n_neighbors > 1)
+    # still needs the dedup: a duplicate pair would occupy two ranks.
+    cand_keys = pts.join(cov, "cell_id").select(
+        point_key, "_p_lat", "_p_lon", seg_key
     )
+    if n_neighbors > 1:
+        cand_keys = cand_keys.distinct()
     seg = segments.select(
         F.col(seg_key),
         F.col("lat1").cast("double").alias("_a1"),

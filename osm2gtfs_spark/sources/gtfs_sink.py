@@ -88,7 +88,13 @@ def _write_csv(df: DataFrame, filename: str, out_dir: str, shards: int = 1) -> s
         F.col(k).cast("double").asc_nulls_last() if k in ("trip_id", "stop_sequence", "shape_pt_sequence") else F.col(k).asc()
         for k in SORT_KEYS[filename]
     ]
-    if shards <= 1:
+    # sharded writers only pay off for the row-scale members; the range
+    # partitioner SAMPLES its input (an extra job per member), so tiny
+    # dimension members (routes, calendar, frequencies) go through the
+    # single sorted task instead (optimization r6) — bytes identical
+    # either way (range partitions tile the key space in order).
+    _ROW_SCALE_MEMBERS = {"stop_times.txt", "stops.txt", "shapes.txt", "trips.txt"}
+    if shards <= 1 or filename not in _ROW_SCALE_MEMBERS:
         ordered = sel.orderBy(*keys).coalesce(1)
     else:
         ordered = sel.repartitionByRange(shards, *keys).sortWithinPartitions(*keys)
