@@ -81,6 +81,24 @@ def run_frequency_pipeline(
         "shape_id",
         F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
     )
+    # overlap the independent stop-side cache warms (nodes → ways →
+    # stops → stations/parent_map) with the serial threshold-count job
+    # inside build_trips below (guide §2.6 "overlap independent jobs"):
+    # the two subtrees share only the already-hot docs cache, so the
+    # background thread back-fills cores the count job leaves idle, and
+    # the later sink fan-out no longer collides on cold decode caches.
+    warm_fut = None
+    if eager and persist:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _warm_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _warm_stop_side():
+            stops.count()
+            parent_map.count()
+
+        warm_fut = _warm_pool.submit(_warm_stop_side)
+        _warm_pool.shutdown(wait=False)
     # the count behind small_threshold is cheap only when itineraries is
     # cached (persist path); uncached callers always get the 2-phase plan
     trips_full = gtfs.build_trips(
@@ -106,6 +124,8 @@ def run_frequency_pipeline(
     )
     if eager and persist:
         stop_times.count()  # warms decode → dims → trips_full → stop_times
+        if warm_fut is not None:
+            warm_fut.result()
     return GtfsTables(
         stops=stops_final,
         routes=routes_final,
@@ -507,7 +527,6 @@ def run_schedule_pipeline(
         "shape_id",
         F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
     )
-
     # stop rows with name + parent-station name (J7 fallback input)
     itin_stops_named = _itin_stops_named(itin_stops, stops, parent_map, stations)
 
@@ -548,7 +567,11 @@ def run_schedule_pipeline(
     routes_final = _routes_final(lines, trips)
     if eager and persist:
         # same rationale as the frequency path: warm the deep shared
-        # chain once before concurrent sink fan-out
+        # chain once before concurrent sink fan-out (the stop-side warm
+        # thread of the frequency path was A/B'd here too and was a
+        # wash — this path's deep chain already pulls the stops cache
+        # through _itin_stops_named, so the fan-out has no cold-cache
+        # collision to hide)
         stop_times.count()
     tables = GtfsTables(
         stops=stops_final,
