@@ -527,6 +527,27 @@ def run_schedule_pipeline(
         "shape_id",
         F.concat(F.lit("relation/"), F.col("itinerary_osm_id").cast("string")),
     )
+    # overlap the stop-side cache warms (nodes → ways → stops →
+    # parent_map/stations) with the serial schedule-side actions below
+    # (guide §2.6): the threshold count inside _schedule_trips_full
+    # materializes the cold per_service chain (decode → lines → match →
+    # agg) without touching the stop subtree, while the deep
+    # stop_times warm afterwards needs the stop caches hot through
+    # _itin_stops_named — so the background thread fills exactly the
+    # caches the serial chain will block on next.
+    warm_fut = None
+    if eager and persist:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _warm_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _warm_stop_side():
+            stops.count()
+            parent_map.count()
+
+        warm_fut = _warm_pool.submit(_warm_stop_side)
+        _warm_pool.shutdown(wait=False)
+
     # stop rows with name + parent-station name (J7 fallback input)
     itin_stops_named = _itin_stops_named(itin_stops, stops, parent_map, stations)
 
@@ -567,12 +588,10 @@ def run_schedule_pipeline(
     routes_final = _routes_final(lines, trips)
     if eager and persist:
         # same rationale as the frequency path: warm the deep shared
-        # chain once before concurrent sink fan-out (the stop-side warm
-        # thread of the frequency path was A/B'd here too and was a
-        # wash — this path's deep chain already pulls the stops cache
-        # through _itin_stops_named, so the fan-out has no cold-cache
-        # collision to hide)
+        # chain once before concurrent sink fan-out
         stop_times.count()
+        if warm_fut is not None:
+            warm_fut.result()
     tables = GtfsTables(
         stops=stops_final,
         routes=routes_final,
