@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def shingles(text_col, n: int = 3) -> Column:
@@ -251,6 +252,7 @@ def connected_components(
     id_b: str = "doc_b",
     max_iters: int = 25,
     checkpoint_dir: str | None = None,
+    small_graph_threshold: int = 65536,
 ) -> DataFrame:
     """Near-dup clusters: (doc_id, component_id=min doc in component).
 
@@ -286,9 +288,77 @@ def connected_components(
     writes a checkpoint copy under ``checkpoint_dir`` and Spark does
     not delete superseded ones by default: set
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (or clean
-    the directory after the job) for repeated backfills."""
+    the directory after the job) for repeated backfills.
+
+    ``small_graph_threshold`` (optimization r6): when the COMPLETE pair
+    list fits under this many rows (checked with a bounded
+    ``limit(threshold+1)`` probe, which short-circuits on big inputs),
+    the labels are computed by a driver union-find instead of the
+    iterative loop — identical min-label fixpoint, bounded driver
+    memory (≤ threshold edge rows ≈ a few MB), and none of the
+    per-round fixed cost that dominates small graphs. ``0`` disables
+    the probe (always iterate). Executes eagerly either way — the
+    iterative path always did (per-round convergence actions); the
+    probe only moves the first action earlier."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    if small_graph_threshold > 0:
+        # Runtime physical-plan choice in the AQE / global_index
+        # small_threshold spirit (optimization r6, guide §1.2 "the
+        # distributed algorithm"): every iterative round pays a fixed
+        # cost — checkpoint materialization, a convergence action, job
+        # scheduling, ~4 exchanges — that dwarfs the actual work on a
+        # small graph (measured: 2.3 s for a 1,020-vertex/2,004-edge
+        # raster grid, all of it round overhead). The probe collects AT
+        # MOST threshold+1 edge rows via limit() — bounded by
+        # construction, never data-proportional, the same guarded-
+        # bounded-collect pattern as the QuickHull frontier. If the
+        # complete edge list fits, a driver union-find labels it with
+        # the identical min-label-per-component fixpoint (asserted
+        # against the distributed path in tests); otherwise the limit
+        # probe short-circuits after ~threshold rows and the iterative
+        # path runs unchanged.
+        probe = (
+            pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+            .limit(small_graph_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= small_graph_threshold:
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe:
+                a, b = r["a"], r["b"]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for v in parent:
+                root = _find(v)
+                cur = comp_min.get(root)
+                if cur is None or v < cur:
+                    comp_min[root] = v
+            id_type = pairs.schema[id_a].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("doc_id", id_type),
+                    T.StructField("component_id", id_type),
+                ]
+            )
+            return pairs.sparkSession.createDataFrame(
+                [(v, comp_min[_find(v)]) for v in sorted(parent)], out_schema
+            )
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
         prev_opt = sc._jsc.sc().getCheckpointDir()

@@ -275,7 +275,39 @@ def test_connected_components_nonconvergence_raises(spark):
     chain = [(i, i + 1) for i in range(40)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.connected_components(pairs, max_iters=1)
+        # small_graph_threshold=0 pins the ITERATIVE path (the r6
+        # small-graph union-find needs no rounds, so it cannot
+        # non-converge — this contract is about the loop)
+        DD.connected_components(pairs, max_iters=1, small_graph_threshold=0)
+
+
+def test_connected_components_small_path_matches_iterative(spark):
+    """Optimization r6: the threshold-gated driver union-find must
+    produce exactly the iterative loop's min-label fixpoint — on a
+    random graph with chains, cliques, singleton-free vertices and a
+    string-keyed variant."""
+    import random
+
+    rng = random.Random(6)
+    edges = [(i, i + 1) for i in range(0, 30, 3)]  # short chains
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    small = {(r.doc_id, r.component_id) for r in DD.connected_components(pairs).collect()}
+    iterative = {
+        (r.doc_id, r.component_id)
+        for r in DD.connected_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert small == iterative
+    spairs = spark.createDataFrame(
+        [(f"k/{a}", f"k/{b}") for a, b in edges], "doc_a string, doc_b string"
+    )
+    ssmall = {(r.doc_id, r.component_id) for r in DD.connected_components(spairs).collect()}
+    siter = {
+        (r.doc_id, r.component_id)
+        for r in DD.connected_components(spairs, small_graph_threshold=0).collect()
+    }
+    assert ssmall == siter
 
 
 def test_wav_non_pcm_and_subbyte_null(spark):
@@ -492,7 +524,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     ckdir = str(tmp_path / "cc_ckpt")
     got = {
         r.doc_id: r.component_id
-        for r in DD.connected_components(pairs, checkpoint_dir=ckdir).collect()
+        for r in DD.connected_components(
+            # small_graph_threshold=0 pins the iterative path — this
+            # contract is about the reliable-checkpoint machinery,
+            # which only the loop exercises
+            pairs, checkpoint_dir=ckdir, small_graph_threshold=0
+        ).collect()
     }
     assert all(got[i] == 0 for i in range(13))
     assert got[50] == got[51] == 50
