@@ -24,18 +24,25 @@ from pyspark.sql import types as T
 def shingles(text_col, n: int = 3) -> Column:
     """Word n-gram shingles (mirrors the 1-based SQL oracles).
 
-    F.get (0-based, NULL on overrun under BOTH ANSI modes) instead of
-    element_at, so docs shorter than n tokens are safe when the
-    operator is called outside the ANSI-off entry wrapper — concat_ws
-    skips the NULL overhang, same output either way."""
+    Formulated as ``zip_with`` over n shifted slices of the token array
+    (optimization r6): the previous ``transform(idx, λi: get(toks,
+    i+j-1)...)`` referenced the ``split`` INSIDE the lambda, and
+    higher-order lambdas get no common-subexpression elimination — the
+    text was re-split once per output element, O(tokens²) per doc
+    (measured 3.1 s → 0.36 s over the sf0.1 corpus, outputs
+    bit-identical). Slices run out tail-first, zip_with pads the short
+    side with NULL, and concat_ws skips NULLs — exactly the old
+    ``F.get`` overrun behavior, safe under BOTH ANSI modes."""
     toks = F.split(text_col, " ", -1)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(n)]),
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    out = F.slice(toks, 1, length)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, j + 1, length),
+            lambda acc, t: F.concat_ws(" ", acc, t),
         )
-    )
+    return F.array_distinct(out)
 
 
 def shingles_sql(text_expr: str, n: int = 3) -> str:
@@ -166,6 +173,13 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops degenerate buckets (boilerplate/empty text that
     collides everywhere) — the skew guard: a bucket of size m yields
     m²/2 pairs, so one hot bucket can dominate the whole join."""
+    # ``bands`` is referenced up to three times below (bucket-size agg +
+    # both sides of the self join); when the caller hands a raw
+    # signature-fold plan, each reference re-folds the text (higher-
+    # order folds get no CSE across plan references — optimization r6,
+    # same boundary as incremental_dedup). The band rows are narrow
+    # (id, idx, hash); localCheckpoint materializes them once.
+    bands = bands.localCheckpoint(eager=False)
     if max_bucket is not None:
         sizes = bands.groupBy("band_idx", "band_hash").count()
         bands = (
@@ -187,7 +201,12 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard(pairs: DataFrame, docs: DataFrame, doc_id: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs (permille, floored)."""
-    sh = docs.select(F.col(doc_id), shingles(F.col(text_col), n).alias("sh"))
+    # the shingle projection feeds BOTH sides of the pair join — without
+    # a materialization boundary every doc is shingled twice
+    # (optimization r6, same rationale as the band-table checkpoint)
+    sh = docs.select(
+        F.col(doc_id), shingles(F.col(text_col), n).alias("sh")
+    ).localCheckpoint(eager=False)
     j = (
         pairs.join(sh.select(F.col(doc_id).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col(doc_id).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -720,6 +739,19 @@ def incremental_dedup(
         if corpus_bands is not None
         else minhash_bands(doc_id, text_col, corpus, k, band_size)
     )
+    # the md5 signature fold is the dominant cost and its band table is
+    # referenced by THREE consumers below (hot-bucket agg / old-side
+    # join / new×new self join) — higher-order folds get no common-
+    # subexpression elimination across plan references, so without a
+    # materialization boundary every consumer re-folds the text
+    # (optimization r6, guide §5 "caching is worth it when a DataFrame
+    # is reused and recomputing is more expensive": measured 9.5 s →
+    # 3.2 s at the sf0.1 gate). localCheckpoint keeps the narrow band
+    # rows in executor-local blocks and cuts the lineage; per-call
+    # state, recomputed from the inputs on every invocation.
+    nb = nb.localCheckpoint(eager=False)
+    if corpus_bands is None:
+        cb = cb.localCheckpoint(eager=False)
     if max_bucket is not None:
         hot = (
             cb.groupBy("band_idx", "band_hash")

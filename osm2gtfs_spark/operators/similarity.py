@@ -297,6 +297,11 @@ def cosine_topk_lsh(
     cb = hyperplane_buckets(corpus, dim, n_planes, n_tables, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
+    # the corpus bucket table is consumed by the hot-bucket aggregate
+    # AND the candidate join — without a materialization boundary the
+    # plane dot products run once per consumer (optimization r6, the
+    # dedup band-table pattern); narrow (id, table, bucket) rows
+    cb = cb.localCheckpoint(eager=False)
     if max_bucket is not None:
         hot = _hot_bucket_keys_checked(cb, max_bucket, n_planes, "cosine_topk_lsh")
         qb = _cap_hot_buckets(qb, hot)
@@ -345,6 +350,10 @@ def embedding_near_dup(
     if n_planes is None:
         n_planes = auto_n_planes(corpus_size if corpus_size is not None else vectors.count())
     b = hyperplane_buckets(vectors, dim, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
+    # referenced by the hot-bucket aggregate + both sides of the self
+    # join — materialize the narrow bucket rows once (optimization r6,
+    # the dedup band-table pattern)
+    b = b.localCheckpoint(eager=False)
     if max_bucket is not None:
         b = _cap_hot_buckets(
             b, _hot_bucket_keys_checked(b, max_bucket, n_planes, "embedding_near_dup")

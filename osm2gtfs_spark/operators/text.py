@@ -57,17 +57,30 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gram_ladder(toks, n: int) -> Column:
+    """Word n-grams WITH multiplicity as zip_with over n shifted slices
+    (optimization r6): the previous transform lambda referenced the
+    token array (a split expression) per output element — higher-order
+    lambdas get no CSE, so the text was re-split O(tokens) times per
+    row. Slices run out tail-first; zip_with pads with NULL; concat_ws
+    skips NULLs — identical output to the old F.get overrun behavior,
+    safe under both ANSI modes."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    out = F.slice(toks, 1, length)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, j + 1, length),
+            lambda acc, t: F.concat_ws(" ", acc, t),
+        )
+    return out
+
+
 def fingerprint(text_col) -> Column:
     """Document fingerprint: lexicographic-min MD5 over 5-gram shingles
     (a 1-hash winnowing stand-in) — stable under token reordering noise
     is NOT the goal; byte-level dedup keying is."""
-    toks = F.split(text_col, " ", -1)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
-    # F.get: NULL on overrun under both ANSI modes (short docs)
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(5)]),
-    )
+    sh = _gram_ladder(F.split(text_col, " ", -1), 5)
     return F.array_min(F.transform(sh, F.md5))
 
 
@@ -86,15 +99,7 @@ def repetition_stats(docs: DataFrame, doc_id: str = "doc_id", text_col: str = "t
     explode → two-level aggregate, all shuffle-keyed by doc_id — at
     corpus scale each doc's grams stay in one partition group and the
     map-side combine collapses repeats before the shuffle."""
-    toks = F.split(F.col(text_col), " ", -1)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    # F.get is NULL-on-overrun under both ANSI modes (element_at throws
-    # INVALID_ARRAY_INDEX under ANSI-on for docs shorter than n tokens);
-    # F.get is 0-based, the sequence is 1-based
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(n)]),
-    )
+    grams = _gram_ladder(F.split(F.col(text_col), " ", -1), n)
     g = docs.select(F.col(doc_id), F.explode(grams).alias("g"))
     c = g.groupBy(doc_id, "g").agg(F.count(F.lit(1)).alias("cnt"))
     return c.groupBy(doc_id).agg(
@@ -267,9 +272,16 @@ def bigram_fluency(
     A stopword-pair's count row is one hot counter, not a posting
     list."""
     toks = F.filter(F.split(F.col(text_col), " ", -1), lambda t: t != "")
-    bigrams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + 2)),
+    # zip_with over two shifted slices (optimization r6): the previous
+    # transform lambda referenced ``toks`` via element_at, re-splitting
+    # the text once per bigram (no CSE inside higher-order lambdas) —
+    # O(tokens²) per doc; outputs identical (tail slice is shorter, so
+    # no padded element ever pairs)
+    blen = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, blen),
+        F.slice(toks, 2, blen),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     bg = docs.select(F.col(doc_id), bigrams.alias("_bgs")).select(
         doc_id, F.explode("_bgs").alias("bg")
