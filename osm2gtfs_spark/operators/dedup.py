@@ -504,6 +504,10 @@ def token_set_dup_pairs(docs: DataFrame, doc_id: str = "doc_id", text_col: str =
             F.array(*[(F.shiftrightunsigned("simhash", i * 16) % F.lit(65536)).cast("long") for i in range(4)])
         ).alias("band_idx", "band_val"),
     )
+    # both sides of the self join reference the simhash fold — one
+    # materialization of the narrow band rows instead of two folds
+    # (optimization r6, the minhash band-table pattern)
+    bands = bands.localCheckpoint(eager=False)
     a = bands.select(F.col(doc_id).alias("doc_a"), "band_idx", "band_val")
     b = bands.select(F.col(doc_id).alias("doc_b"), "band_idx", "band_val")
     cand = (
