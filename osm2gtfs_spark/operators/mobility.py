@@ -204,6 +204,11 @@ def route_overlap_jaccard(
         .select(route_col, "_cell")
         .distinct()
     )
+    # the footprint table feeds the size aggregate AND both sides of
+    # the cell self join — materialize the narrow (route, cell) rows
+    # once instead of re-running the bbox-cover explode per reference
+    # (optimization r6, the dedup band-table pattern)
+    cov = cov.localCheckpoint(eager=False)
     sizes = cov.groupBy(route_col).agg(F.count(F.lit(1)).alias("_n"))
     a = cov.select(F.col(route_col).alias("route_a"), "_cell")
     b = cov.select(F.col(route_col).alias("route_b"), "_cell")
