@@ -311,17 +311,34 @@ def connected_components(
 
     ``small_graph_threshold`` (optimization r6): when the COMPLETE pair
     list fits under this many rows (checked with a bounded
-    ``limit(threshold+1)`` probe, which short-circuits on big inputs),
-    the labels are computed by a driver union-find instead of the
-    iterative loop — identical min-label fixpoint, bounded driver
-    memory (≤ threshold edge rows ≈ a few MB), and none of the
-    per-round fixed cost that dominates small graphs. ``0`` disables
-    the probe (always iterate). Executes eagerly either way — the
-    iterative path always did (per-round convergence actions); the
-    probe only moves the first action earlier."""
+    ``limit(threshold+1)`` probe), the labels are computed by a driver
+    union-find instead of the iterative loop — identical min-label
+    fixpoint, bounded driver memory (≤ threshold edge rows ≈ a few MB),
+    and none of the per-round fixed cost that dominates small graphs.
+    ``0`` disables the probe (always iterate). The probe shares ONE
+    lazy-localCheckpoint materialization of ``pairs`` with the loop, so
+    a big graph pays the pair plan once, not twice. The probe is
+    skipped automatically when ``checkpoint_dir`` is set (the explicit
+    cluster-scale/reliability signal), when the id columns have
+    different types, or when NULL ids appear in the probe window —
+    those cases take the iterative path with its original semantics.
+    Executes eagerly either way — the iterative path always did
+    (per-round convergence actions)."""
     if max_iters < 1:
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
-    if small_graph_threshold > 0:
+    # review r6: the probe is skipped entirely when the caller asked for
+    # RELIABLE checkpointing — that flag is the explicit cluster-scale
+    # signal, where the pair plan is expensive and the probe's upstream
+    # shuffle stages would run twice (once for the probe, once for the
+    # loop). Mixed id column types likewise fall through: the iterative
+    # path's unionByName coerces to the common type, the driver path
+    # would not.
+    use_probe = (
+        small_graph_threshold > 0
+        and checkpoint_dir is None
+        and pairs.schema[id_a].dataType == pairs.schema[id_b].dataType
+    )
+    if use_probe:
         # Runtime physical-plan choice in the AQE / global_index
         # small_threshold spirit (optimization r6, guide §1.2 "the
         # distributed algorithm"): every iterative round pays a fixed
@@ -337,12 +354,21 @@ def connected_components(
         # against the distributed path in tests); otherwise the limit
         # probe short-circuits after ~threshold rows and the iterative
         # path runs unchanged.
+        # ONE materialization shared between the probe and (if the graph
+        # turns out big) the iterative loop (review r6): the lazy
+        # localCheckpoint's blocks are filled by whatever partitions the
+        # limit probe scans and completed by the loop's first action, so
+        # an expensive pair plan (LSH self-join + distinct) never runs
+        # twice. Same lineage-cut semantics the loop's per-round
+        # localCheckpoint already imposes on this path.
+        pairs = pairs.localCheckpoint(eager=False)
         probe = (
             pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
             .limit(small_graph_threshold + 1)
             .collect()
         )
-        if len(probe) <= small_graph_threshold:
+        has_null = any(r["a"] is None or r["b"] is None for r in probe)
+        if len(probe) <= small_graph_threshold and not has_null:
             parent: dict = {}
 
             def _find(x):

@@ -123,9 +123,17 @@ def run_frequency_pipeline(
         " friday int, saturday int, sunday int, start_date string, end_date string",
     )
     if eager and persist:
-        stop_times.count()  # warms decode → dims → trips_full → stop_times
+        try:
+            stop_times.count()  # warms decode → dims → trips_full → stop_times
+        except BaseException:
+            # join the warm thread without masking the main-chain error
+            # (review r6): an unjoined warm would keep running against a
+            # context the caller may be about to stop
+            if warm_fut is not None:
+                warm_fut.exception()
+            raise
         if warm_fut is not None:
-            warm_fut.result()
+            warm_fut.result()  # re-raises a warm-side failure
     return GtfsTables(
         stops=stops_final,
         routes=routes_final,
@@ -589,9 +597,16 @@ def run_schedule_pipeline(
     if eager and persist:
         # same rationale as the frequency path: warm the deep shared
         # chain once before concurrent sink fan-out
-        stop_times.count()
+        try:
+            stop_times.count()
+        except BaseException:
+            # join the warm thread without masking the main-chain error
+            # (review r6, as in the frequency path)
+            if warm_fut is not None:
+                warm_fut.exception()
+            raise
         if warm_fut is not None:
-            warm_fut.result()
+            warm_fut.result()  # re-raises a warm-side failure
     tables = GtfsTables(
         stops=stops_final,
         routes=routes_final,

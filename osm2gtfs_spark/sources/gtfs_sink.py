@@ -93,7 +93,18 @@ def _write_csv(df: DataFrame, filename: str, out_dir: str, shards: int = 1) -> s
     # dimension members (routes, calendar, frequencies) go through the
     # single sorted task instead (optimization r6) — bytes identical
     # either way (range partitions tile the key space in order).
-    _ROW_SCALE_MEMBERS = {"stop_times.txt", "stops.txt", "shapes.txt", "trips.txt"}
+    # frequencies (~1 row/trip) and calendar_dates (~1 row/service-date
+    # exception) scale with the feed like trips do (review r6) — only
+    # the truly bounded dimension members (routes, calendar, agency)
+    # skip the range-sampler job
+    _ROW_SCALE_MEMBERS = {
+        "stop_times.txt",
+        "stops.txt",
+        "shapes.txt",
+        "trips.txt",
+        "frequencies.txt",
+        "calendar_dates.txt",
+    }
     if shards <= 1 or filename not in _ROW_SCALE_MEMBERS:
         ordered = sel.orderBy(*keys).coalesce(1)
     else:
